@@ -1,0 +1,138 @@
+"""End-to-end: Ray pipeline output byte-identical to the single-process oracle,
+invariant to batch size / parallelism; partitioned commit + resume."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from post_ocr_corrector_ray.functions.alphabet import build_alphabet
+from post_ocr_corrector_ray.model.dictionary import DictionaryCorrector
+from post_ocr_corrector_ray.model.neural import NeuralCorrectorModel
+from post_ocr_corrector_ray.oracle import oracle_extract, oracle_extract_correct
+from post_ocr_corrector_ray.pipelines.extract_correct import extract_correct
+from post_ocr_corrector_ray.sources.synth import pages_batch, write_pages_parquet
+from post_ocr_corrector_ray.state import lineage as lin
+
+import numpy as np
+
+N_PAGES = 120
+
+
+@pytest.fixture(scope="module")
+def pages_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages")
+    path = str(d / "pages.parquet")
+    write_pages_parquet(path, N_PAGES, seed=42)
+    return path
+
+
+@pytest.fixture(scope="module")
+def pages_table():
+    return pages_batch(np.arange(N_PAGES), seed=42)
+
+
+@pytest.fixture(scope="module")
+def alphabet(pages_table):
+    golden = oracle_extract(pages_table)
+    return build_alphabet(set().union(*[set(t) for t in golden.values()]) or {"a"})
+
+
+def _as_url_map(ds, col="corrected_text"):
+    tbl = ds.to_pandas()
+    return dict(zip(tbl["url"], tbl[col]))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestByteIdentity:
+    def test_extract_matches_oracle(self, pages_file, pages_table):
+        import ray.data
+
+        ds = extract_correct(ray.data.read_parquet(pages_file), corrector="null")
+        got = _as_url_map(ds, "extracted_text")
+        want = oracle_extract(pages_table)
+        assert got == want
+
+    def test_null_corrector_identity(self, pages_file):
+        import ray.data
+
+        ds = extract_correct(ray.data.read_parquet(pages_file), corrector="null")
+        df = ds.to_pandas()
+        assert (df["corrected_text"] == df["extracted_text"]).all()
+
+    def test_neural_matches_oracle_across_batch_sizes(self, pages_file, pages_table,
+                                                      alphabet, tiny_hparams):
+        import ray.data
+
+        model = NeuralCorrectorModel.from_seed(alphabet, seed=7, **tiny_hparams)
+        # keep runtime sane: 12 mixed pages
+        small = pages_table.slice(0, 12)
+        want = oracle_extract_correct(small, model)
+        for batch_size in (1, 12):
+            ds = extract_correct(
+                ray.data.from_arrow(small), corrector="neural",
+                alphabet=alphabet, seed=7, hparams=tiny_hparams,
+                batch_size=batch_size, concurrency=2,
+            )
+            assert _as_url_map(ds) == want, f"batch_size={batch_size}"
+
+    def test_dictionary_matches_oracle(self, pages_file, pages_table):
+        import ray
+
+        vocab = {"brza": 3, "lisica": 3, "quick": 5, "brown": 5, "fox": 5,
+                 "the": 9, "dog": 4, "under": 3, "trees": 3}
+        corr = DictionaryCorrector(vocab, min_frequency=2)
+        small = pages_table.slice(0, 20)
+        want = oracle_extract_correct(small, corr)
+        ds = extract_correct(
+            ray.data.from_arrow(small), corrector="dictionary",
+            vocab_ref=ray.put(vocab), min_frequency=2, concurrency=2,
+        )
+        assert _as_url_map(ds) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCommitResume:
+    def test_partitioned_commit_and_lineage(self, pages_file, pages_table, tmp_path):
+        import ray.data
+
+        out = str(tmp_path / "out")
+        summary = extract_correct(ray.data.read_parquet(pages_file), corrector="null",
+                                  out_dir=out, num_partitions=8,
+                                  input_fingerprint="testfp").to_pandas()
+        committed = lin.committed_partitions(out)
+        assert set(summary["part"]) == committed and len(committed) > 0
+        # lineage records present with metrics
+        recs = lin.read_lineage(out)
+        assert all(r["input_fingerprint"] == "testfp" for r in recs)
+        assert sum(r["n_rows"] for r in recs) == N_PAGES
+        # output matches oracle
+        table = lin.read_output(out)
+        got = dict(zip(table.column("url").to_pylist(),
+                       table.column("corrected_text").to_pylist()))
+        assert got == oracle_extract(pages_table)
+
+    def test_resume_skips_committed(self, pages_file, tmp_path):
+        import ray.data
+
+        out = str(tmp_path / "out2")
+        extract_correct(ray.data.read_parquet(pages_file), corrector="null",
+                        out_dir=out, num_partitions=8).to_pandas()
+        first = lin.committed_partitions(out)
+        assert len(first) > 0
+        # wipe two partitions' markers → only those get redone
+        victims = sorted(first)[:2]
+        for p in victims:
+            os.remove(os.path.join(lin.partition_dir(out, p), lin.SUCCESS_NAME))
+        summary2 = extract_correct(ray.data.read_parquet(pages_file), corrector="null",
+                                   out_dir=out, num_partitions=8).to_pandas()
+        assert set(summary2["part"]) == set(victims)
+        assert lin.committed_partitions(out) == first
+
+    def test_partition_assignment_deterministic(self, pages_file, tmp_path):
+        from post_ocr_corrector_ray.functions.hashing import partition_of
+
+        urls = pq.read_table(pages_file, columns=["url"]).column("url").to_pylist()
+        a = [partition_of(u, 8) for u in urls]
+        b = [partition_of(u, 8) for u in urls]
+        assert a == b
