@@ -1,44 +1,230 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extract+correct pipeline on synthetic pages
+derived from sf0.001; ``queries()`` exposes one callable per implemented
+operator/pipeline from SURVEY.md §2 (plus the training-data extensions);
+``oracle_sql()`` gives the DuckDB twin for every SQL-expressible query.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+from post_ocr_corrector_ray.functions.alphabet import build_alphabet
+from post_ocr_corrector_ray.pipelines import documents as D
+from post_ocr_corrector_ray.pipelines import embeddings as E
+from post_ocr_corrector_ray.pipelines import relational as R
+from post_ocr_corrector_ray.pipelines.extract_correct import extract_correct
+from post_ocr_corrector_ray.sources import synth
+
+# Alphabet covering every char the synthetic page generator can emit in main
+# content (lexicon words, capitalized sentence-initials, '.', ' ').
+FLAGSHIP_ALPHABET = build_alphabet(
+    set("".join(synth._WORDS_LATIN) + "".join(synth._WORDS_CYRILLIC))
+    | {w[0].upper() for w in synth._WORDS_LATIN}
+    | {w[0].upper() for w in synth._WORDS_CYRILLIC}
+    | set(". ")
+)
+TINY_HPARAMS = dict(max_len=32, d_model=32, n_head=2, n_layers=2, d_linear=32)
+
+
+def _synthetic_pages(n: int):
+    """Distributed deterministic page generation (no disk roundtrip).
+
+    ``override_num_blocks`` matters: a single-block input would starve the
+    downstream actor pool (one task = one actor); split so every worker gets
+    work from the first batch on."""
+    import pyarrow as pa
+
+    import ray.data
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return synth.pages_batch(batch.column("id").to_numpy(), seed=42)
+
+    blocks = max(8, min(256, n // 8))
+    return ray.data.range(n, override_num_blocks=blocks).map_batches(
+        gen, batch_format="pyarrow")
+
+
+def _flagship(n_pages: int, batch_size: int = 8, concurrency=(2, 8)):
+    ds = extract_correct(
+        _synthetic_pages(n_pages), corrector="neural",
+        alphabet=FLAGSHIP_ALPHABET, seed=7, hparams=TINY_HPARAMS,
+        batch_size=batch_size, concurrency=concurrency,
+    )
+    return ds.select_columns(["url", "lang", "extract_status", "extracted_text",
+                              "corrected_text"])
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline smoke (sf0.001-scale synthetic pages)."""
+    return _flagship(n_pages=60)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # flagship + reference-semantics pipelines (rows-only where non-SQL)
+        "flagship_extract_correct": lambda sf: _flagship(n_pages=120),
+        "doc_mutilate": D.doc_mutilate,
+        "doc_null_corrector_cer": D.doc_null_corrector_cer,
+        # reference text semantics with SQL twins
+        "doc_normalize_ws": D.doc_normalize_ws,
+        "doc_all_chars": lambda sf: D.doc_all_chars(sf),
+        "doc_token_counts": D.doc_token_counts,
+        "doc_split_assignment": D.doc_split_assignment,
+        "doc_lev_reverse": D.doc_lev_reverse,
+        "doc_markup_roundtrip": D.doc_markup_roundtrip,
+        # training-data ops
+        "doc_dedup_exact": D.doc_dedup_exact,
+        "doc_token_stats": D.doc_token_stats,
+        "doc_quality": D.doc_quality,
+        "doc_langid": D.doc_langid,
+        "doc_fingerprint": D.doc_fingerprint,
+        "doc_simhash": D.doc_simhash,
+        "doc_simhash_candidates": D.doc_simhash_candidates,
+        "doc_minhash_pairs": D.doc_minhash_pairs,
+        # embeddings / similarity search
+        "emb_ann_topk": lambda sf: E.emb_ann_topk(sf),
+        "emb_ann_topk_lsh": lambda sf: E.emb_ann_topk_lsh(sf),
+        "emb_nn_join": E.emb_nn_join,
+        # relational capability (groupby/join/sort/window)
+        "pricing_summary": R.pricing_summary,
+        "top_customers": lambda sf: R.top_customers(sf),
+        "order_priority_counts": R.order_priority_counts,
+        "events_hourly": R.events_hourly,
+        "events_sessions": lambda sf: R.events_sessions(sf),
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOP_LIST = "('the','a','of','and','to','in','is','on','for','with')"
+
+_TOKEN_STATS_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(length(w)) AS BIGINT) AS sum_wl,
+         CAST(sum(CASE WHEN w IN {_STOP_LIST} THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+  FROM words GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       COALESCE(a.n_words, 0) AS n_words,
+       CAST(length(d.text) - length(regexp_replace(d.text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       COALESCE(a.sum_wl * 1.0 / a.n_words, 0.0) AS mean_word_len,
+       COALESCE(a.n_stop * 1.0 / a.n_words, 0.0) AS stop_ratio
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_normalize_ws": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(text, '\s+', ' ', 'g'), '^ ', '') AS norm_text
+            FROM documents""",
+        "doc_all_chars": r"""
+            SELECT DISTINCT unnest(regexp_extract_all(text, '(?s).')) AS ch FROM documents""",
+        "doc_token_counts": r"""
+            SELECT w AS token, CAST(count(*) AS BIGINT) AS frequency
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                  FROM documents WHERE trim(text) <> '')
+            GROUP BY w""",
+        "doc_split_assignment": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 9 THEN 'validation'
+                        WHEN doc_id % 10 = 0 THEN 'test'
+                        ELSE 'train' END AS split
+            FROM documents""",
+        "doc_lev_reverse": """
+            SELECT doc_id, CAST(levenshtein(text, reverse(text)) AS BIGINT) AS lev_rev
+            FROM documents""",
+        "doc_markup_roundtrip": r"""
+            SELECT doc_id,
+                   array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ') AS sentence
+            FROM documents""",
+        "doc_dedup_exact": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS content_md5
+            FROM documents GROUP BY md5(text)""",
+        "doc_token_stats": _TOKEN_STATS_SQL,
+        "doc_quality": f"""
+            WITH s AS ({_TOKEN_STATS_SQL})
+            SELECT doc_id, n_chars, n_words, n_punct, mean_word_len, stop_ratio,
+                   0.25 * (least(n_chars / 200.0, 1.0)
+                           + least(n_words / 30.0, 1.0)
+                           + CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                                  THEN 1.0 ELSE 0.5 END
+                           + CASE WHEN stop_ratio > 0.0 THEN 1.0 ELSE 0.6 END) AS quality
+            FROM s""",
+        "emb_ann_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                          WHERE vec_id = 0)), 6) AS sim
+            FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""",
+        "emb_nn_join": """
+            SELECT vec_id, nn_id, nn_sim FROM (
+              SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+                     round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])), 6) AS nn_sim,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                                b.vec_id) AS rn
+              FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
+            WHERE rn = 1""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+                       AS sum_base_price,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0
+                       AS sum_disc_price,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) * 1.0 / COUNT(*) AS avg_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+                       / COUNT(*) AS avg_price,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "top_customers": """
+            SELECT c_custkey,
+                   c_name,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+                       AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey LIMIT 10""",
+        "order_priority_counts": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY o_orderpriority""",
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        "events_sessions": """
+            WITH marks AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(new_s) AS BIGINT) AS n_sessions
+            FROM marks GROUP BY user_id""",
+    }

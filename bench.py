@@ -1,0 +1,118 @@
+"""Benchmark harness.
+
+Runs the headline flagship pipeline (synthetic Common-Crawl-style pages →
+extract → neural-correct → partitioned commit-less consume) plus a
+representative query suite over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) and prints ONE JSON line.
+
+``--scaling``: re-runs the headline pipeline in two fresh processes at
+``num_cpus=8`` and ``num_cpus=32`` on identical input and reports both
+throughputs plus scaling efficiency ``(t8/t32)/4`` (the sandbox stand-in for
+the north_rule's N vs 4N cluster sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _n_pages(sf_dir: str) -> int:
+    """Page count tied to the scale factor via the documents table row count."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entry
+
+    # warm the OS page cache so reads measure compute, not first-touch disk IO
+    for t in ("lineitem", "orders", "documents", "embeddings", "events", "customer"):
+        with open(f"{SF_DIR}/{t}.parquet", "rb") as f:
+            f.read()
+
+    n_pages = _n_pages(SF_DIR)
+    timings: dict[str, float] = {}
+
+    # headline: flagship extract+correct, fully consumed (streamed, not collected)
+    t0 = time.time()
+    ds = entry._flagship(n_pages=n_pages, batch_size=8,
+                         concurrency=max(2, NUM_CPUS - 2))
+    n_rows = sum(b.num_rows for b in ds.iter_batches(batch_size=4096,
+                                                     batch_format="pyarrow"))
+    headline = time.time() - t0
+    timings["flagship_extract_correct"] = round(headline, 3)
+
+    bench_queries = [
+        "pricing_summary", "top_customers", "order_priority_counts",
+        "events_hourly", "events_sessions", "doc_token_counts",
+        "doc_normalize_ws", "doc_dedup_exact", "doc_token_stats",
+        "doc_lev_reverse", "doc_simhash", "doc_minhash_pairs",
+        "emb_ann_topk", "emb_nn_join", "doc_null_corrector_cer",
+    ]
+    qs = entry.queries()
+    for name in bench_queries:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "iter_batches"):  # Dataset → consume streaming
+            for _ in res.iter_batches(batch_size=8192, batch_format="pyarrow"):
+                pass
+        timings[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship extract+correct wall seconds (synthetic pages, n tied to sf)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_pages": n_pages,
+        "docs_per_sec": round(n_rows / headline, 2) if headline > 0 else None,
+    }
+
+
+def run_scaling() -> dict:
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                              capture_output=True, text=True, check=True,
+                              cwd=os.path.dirname(os.path.abspath(__file__)))
+        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t8, t32 = out[8]["value"], out[32]["value"]
+    return {
+        "metric": "scaling efficiency (8 → 32 cpus, same input)",
+        "sec_8": t8,
+        "sec_32": t32,
+        "docs_per_sec_8": out[8]["docs_per_sec"],
+        "docs_per_sec_32": out[32]["docs_per_sec"],
+        "scaling_efficiency": round((t8 / t32) / (32 / 8), 3),
+        "sf": SF_DIR,
+        "n_pages": out[32]["n_pages"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_benchmarks()))

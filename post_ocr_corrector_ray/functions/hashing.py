@@ -44,7 +44,8 @@ def hash_u64_array(values: np.ndarray, seed: int) -> np.ndarray:
     Splitmix64-style mix with a seed-derived odd multiplier; adequate
     statistical quality for minhash permutations, fully deterministic.
     """
-    x = values.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15) * np.uint64(seed * 2 + 1)
+    mult = (0x9E3779B97F4A7C15 * (seed * 2 + 1)) & 0xFFFFFFFFFFFFFFFF  # wraparound in python int
+    x = values.astype(np.uint64) + np.uint64(mult)
     x ^= x >> np.uint64(30)
     x *= np.uint64(0xBF58476D1CE4E5B9)
     x ^= x >> np.uint64(27)

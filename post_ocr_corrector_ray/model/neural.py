@@ -101,18 +101,30 @@ class NeuralCorrectorModel:
     # -- correction -----------------------------------------------------------
 
     def correct_document(self, text: str) -> str:
-        """Pinned per-document path: the document's chunks decoded one at a
-        time (batch=1 per chunk — no padding anywhere), output a pure function
-        of ``text``."""
+        """Pinned per-document path: batch composition is a pure function of
+        the document, so output bytes are invariant to Ray batch size,
+        partitioning, and actor count (SURVEY.md §7.4.1 — the encoder takes no
+        padding mask, so cross-document batches would leak neighbors' padding
+        into the result).
+
+        All full ``max_len`` chunks decode as ONE batch (uniform length — no
+        padding exists), the short tail chunk decodes alone."""
         if text == "":
             return ""
-        chunks_out: list[str] = []
-        for start in range(0, len(text), self.max_len):
-            chunk = text[start : start + self.max_len]
-            ids = self.vocab.encode(chunk)[None, :]  # (1, L)
-            out = self.greedy_decode(ids)
-            chunks_out.append(self.vocab.decode(out[0]))
-        return "".join(chunks_out)
+        L = self.max_len
+        n_full = len(text) // L
+        outs: list[str] = [""] * ((n_full + 1) if len(text) % L else n_full)
+        if n_full:
+            ids = np.stack([self.vocab.encode(text[i * L : (i + 1) * L])
+                            for i in range(n_full)])  # (n_full, L)
+            decoded = self.greedy_decode(ids)
+            for i in range(n_full):
+                outs[i] = self.vocab.decode(decoded[i])
+        tail = text[n_full * L :]
+        if tail:
+            out = self.greedy_decode(self.vocab.encode(tail)[None, :])
+            outs[-1] = self.vocab.decode(out[0])
+        return "".join(outs)
 
     def correct(self, texts: list[str]) -> list[str]:
         """Reference ``correct`` parity path (cross-document micro-batches,

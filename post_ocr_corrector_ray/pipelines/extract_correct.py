@@ -41,6 +41,64 @@ from ..state import lineage as lin
 CorrectorKind = Literal["null", "neural", "dictionary"]
 
 
+def explode_chunks(batch: pa.Table, *, max_len: int, threshold: int,
+                   text_col: str = TEXT_COL) -> pa.Table:
+    """Skew handling (SURVEY.md §7.4.4): documents longer than ``threshold``
+    explode into independent ``max_len``-char chunk rows so one giant page
+    cannot serialize an actor.  Valid ONLY for the char-level neural corrector,
+    whose decode is chunk-independent by construction (the reference itself
+    chunks at ``max_len``, neural_corrector.py:138-141): per-chunk decode
+    concatenated equals whole-document correction byte-for-byte.
+    Normal rows pass through with ``chunk_idx = -1``."""
+    names = batch.column_names
+    texts = batch.column(text_col).to_pylist()
+    out: dict[str, list] = {n: [] for n in names}
+    out["chunk_idx"], out["chunk_total"] = [], []
+    originals = {n: batch.column(n).to_pylist() for n in names if n != text_col}
+    for i, text in enumerate(texts):
+        text = text or ""
+        if len(text) > threshold:
+            chunks = [text[j : j + max_len] for j in range(0, len(text), max_len)]
+            for ci, chunk in enumerate(chunks):
+                for n in originals:
+                    out[n].append(originals[n][i])
+                out[text_col].append(chunk)
+                out["chunk_idx"].append(ci)
+                out["chunk_total"].append(len(chunks))
+        else:
+            for n in originals:
+                out[n].append(originals[n][i])
+            out[text_col].append(text)
+            out["chunk_idx"].append(-1)
+            out["chunk_total"].append(1)
+    arrays, out_names = [], []
+    for n in names:
+        typ = batch.schema.field(n).type
+        arrays.append(pa.array(out[n], typ))
+        out_names.append(n)
+    arrays.append(pa.array(out["chunk_idx"], pa.int32())); out_names.append("chunk_idx")
+    arrays.append(pa.array(out["chunk_total"], pa.int32())); out_names.append("chunk_total")
+    return pa.Table.from_arrays(arrays, names=out_names)
+
+
+def _reassemble_df(df, text_cols=(TEXT_COL, OUT_COL)):
+    """Collapse chunk rows back to one row per url (pandas group input)."""
+    import pandas as pd
+
+    if (df["chunk_idx"] < 0).all():
+        return df.drop(columns=["chunk_idx", "chunk_total"])
+    rows = []
+    for _, g in df.groupby("url", sort=True):
+        g = g.sort_values("chunk_idx")
+        row = g.iloc[0].to_dict()
+        if row["chunk_idx"] >= 0:
+            for col in text_cols:
+                row[col] = "".join(g[col].tolist())
+        row.pop("chunk_idx"); row.pop("chunk_total")
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
 def read_pages(sf_path: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """Column-pruned parquet scan of a pages table."""
     return ray.data.read_parquet(sf_path, columns=columns)
@@ -81,10 +139,16 @@ def correct_stage(ds: ray.data.Dataset, *, corrector: CorrectorKind,
 def extract_correct(pages: ray.data.Dataset, *, corrector: CorrectorKind = "null",
                     out_dir: str | None = None, num_partitions: int = 32,
                     resume: bool = True, input_fingerprint: str = "",
+                    chunk_parallel: bool = False, chunk_threshold: int | None = None,
                     **correct_kwargs) -> ray.data.Dataset:
     """Full pipeline.  With ``out_dir`` set, executes and commits partitioned
     output (returns the tiny per-partition summary dataset); without, returns
-    the lazy corrected dataset for the caller to consume."""
+    the lazy corrected dataset for the caller to consume.
+
+    ``chunk_parallel``: explode giant documents into chunk rows before the
+    corrector (neural only) and reassemble afterwards — in the committed path
+    the reassembly piggybacks on the partition shuffle (zero extra exchanges);
+    the uncommitted path adds a ``groupby(url)``."""
     ds = pages
     committed: frozenset[int] = frozenset()
     if out_dir is not None and resume:
@@ -93,8 +157,19 @@ def extract_correct(pages: ray.data.Dataset, *, corrector: CorrectorKind = "null
             ds = ds.map_batches(make_committed_filter(committed, num_partitions),
                                 batch_format="pyarrow")
     ds = extract_pipeline(ds)
+    if chunk_parallel:
+        assert corrector == "neural", "chunk-parallel correction is char-level only"
+        max_len = (correct_kwargs.get("hparams") or {}).get("max_len", 512)
+        thr = chunk_threshold if chunk_threshold is not None else 8 * max_len
+        ds = ds.map_batches(explode_chunks, batch_format="pyarrow",
+                            fn_kwargs=dict(max_len=max_len, threshold=thr))
     ds = correct_stage(ds, corrector=corrector, **correct_kwargs)
     if out_dir is None:
+        if chunk_parallel:
+            # url is a high-cardinality key → coarse hash-partitioned regroup
+            from ..stages.shuffle import grouped_apply
+
+            ds = grouped_apply(ds, ["url"], _reassemble_df)
         return ds
     ds = ds.map_batches(add_partition_column, batch_format="pyarrow",
                         fn_kwargs=dict(num_partitions=num_partitions))
@@ -104,6 +179,9 @@ def extract_correct(pages: ray.data.Dataset, *, corrector: CorrectorKind = "null
         part_id = int(group.column("part")[0].as_py())
         t0 = time.time()
         body = group.drop_columns(["part"])
+        if chunk_parallel:
+            body = pa.Table.from_pandas(_reassemble_df(body.to_pandas()),
+                                        preserve_index=False)
         n_empty = sum(1 for t in body.column(OUT_COL).to_pylist() if not t)
         rec = lin.commit_partition(
             body, out_dir, part_id,

@@ -1,0 +1,176 @@
+"""Relational query pipelines over the TPC-H-ish test tables.
+
+These demonstrate the engine's general groupby/join/sort/window capability in
+Ray-Data-idiomatic form; each has an exact ANSI-SQL oracle in __ray_entry__.
+
+Numeric parity discipline: money sums are computed in integer cents (exact in
+both NumPy int64 and SQL BIGINT — the inputs are 2-decimal doubles), then
+divided back to dollars at the end; averages divide the same two exact
+integers on both sides, so the resulting doubles are bit-identical.
+
+Scale posture: every aggregate pre-combines inside ``map_batches`` (one row
+per key per batch) before the ``groupby`` — the shuffle moves partials, not
+rows.  Joins broadcast the dimension side (``ray.put`` / driver dict), never
+hash-shuffle the fact table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    return np.round(arr.to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+
+
+def pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-shaped pricing summary over lineitem (≤ cutoff shipdate)."""
+    cutoff = np.datetime64("1998-09-02T00:00:00")
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.less_equal(batch.column("l_shipdate"),
+                             pa.scalar(cutoff.item(), pa.timestamp("us")))
+        batch = batch.filter(mask)
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], t) for c, t in [
+                ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+                ("qty", pa.int64()), ("base_cents", pa.int64()),
+                ("disc_e4", pa.int64()), ("n", pa.int64())]})
+        df = pd.DataFrame({
+            "l_returnflag": batch.column("l_returnflag").to_pandas(),
+            "l_linestatus": batch.column("l_linestatus").to_pandas(),
+            "qty": batch.column("l_quantity").to_numpy().astype(np.int64),
+            "base_cents": _cents(batch.column("l_extendedprice")),
+            "disc_pct": _cents(batch.column("l_discount")),
+        })
+        df["disc_e4"] = df["base_cents"] * (100 - df["disc_pct"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            qty=("qty", "sum"), base_cents=("base_cents", "sum"),
+            disc_e4=("disc_e4", "sum"), n=("qty", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(Sum("qty", alias_name="qty"), Sum("base_cents", alias_name="base_cents"),
+                   Sum("disc_e4", alias_name="disc_e4"), Sum("n", alias_name="n"))
+    out = agg.to_pandas()
+    res = pd.DataFrame({
+        "l_returnflag": out["l_returnflag"],
+        "l_linestatus": out["l_linestatus"],
+        "sum_qty": out["qty"].astype("int64"),
+        "sum_base_price": out["base_cents"].astype("int64") / 100.0,
+        "sum_disc_price": out["disc_e4"].astype("int64") / 10000.0,
+        "avg_qty": out["qty"].astype("int64") * 1.0 / out["n"].astype("int64"),
+        "avg_price": out["base_cents"].astype("int64") / 100.0 / out["n"].astype("int64"),
+        "count_order": out["n"].astype("int64"),
+    })
+    return pa.Table.from_pandas(res.sort_values(["l_returnflag", "l_linestatus"]),
+                                preserve_index=False)
+
+
+def top_customers(sf_dir: str, k: int = 10) -> pa.Table:
+    """Total order revenue per customer, top-k — broadcast dimension join."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"o_custkey": batch.column("o_custkey").to_numpy(),
+                           "cents": _cents(batch.column("o_totalprice"))})
+        g = df.groupby("o_custkey", as_index=False)["cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("cents", alias_name="cents")).to_pandas()
+    agg["cents"] = agg["cents"].astype("int64")
+    top = agg.sort_values(["cents", "o_custkey"], ascending=[False, True]).head(k)
+    # broadcast small side: customer names for just the winners
+    names = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    top = top.merge(names, left_on="o_custkey", right_on="c_custkey")
+    res = pd.DataFrame({"c_custkey": top["c_custkey"].astype("int64"),
+                        "c_name": top["c_name"],
+                        "revenue": top["cents"] / 100.0})
+    return pa.Table.from_pandas(res.sort_values("c_custkey"), preserve_index=False)
+
+
+def order_priority_counts(sf_dir: str) -> pa.Table:
+    """Order counts per priority in a quarter (filter pushed into the scan)."""
+    lo = np.datetime64("1996-01-01T00:00:00")
+    hi = np.datetime64("1996-04-01T00:00:00")
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(batch.column("o_orderdate"),
+                                     pa.scalar(lo.item(), pa.timestamp("us"))),
+                    pc.less(batch.column("o_orderdate"),
+                            pa.scalar(hi.item(), pa.timestamp("us"))))
+        batch = batch.filter(m)
+        df = pd.DataFrame({"o_orderpriority": batch.column("o_orderpriority").to_pandas()})
+        g = df.groupby("o_orderpriority", as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(Sum("n", alias_name="n")).to_pandas()
+    agg["n"] = agg["n"].astype("int64")
+    return pa.Table.from_pandas(agg.sort_values("o_orderpriority"), preserve_index=False)
+
+
+def events_hourly(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour window aggregate per event type."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_pandas()
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "hour": ts.dt.floor("h"),
+            "value_cents": _cents(batch.column("value")),
+        })
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("value_cents", "size"), value_cents=("value_cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]) \
+        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents")) \
+        .to_pandas()
+    agg["n"] = agg["n"].astype("int64")
+    agg["value_cents"] = agg["value_cents"].astype("int64")
+    return pa.Table.from_pandas(agg.sort_values(["event_type", "hour"]), preserve_index=False)
+
+
+def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Per-user sessionization (gap-based), the stream-shaped op: groupby(user)
+    → per-group sort by (ts, event_id) → gap scan (ray_guide streaming recipe)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions_in_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across every user in the coarse partition: a new session
+        # starts at a user boundary or a gap > `gap`
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        new_user = df["user_id"] != df["user_id"].shift()
+        deltas = df["ts"].diff()
+        new_session = new_user | deltas.isna() | (deltas > gap)
+        out = df.assign(_s=new_session.astype("int64")).groupby(
+            "user_id", as_index=False).agg(n_events=("_s", "size"),
+                                           n_sessions=("_s", "sum"))
+        return out
+
+    from ..stages.shuffle import grouped_apply
+
+    out = grouped_apply(ds, ["user_id"], sessions_in_partition).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    return pa.Table.from_pandas(out.sort_values("user_id"), preserve_index=False)

@@ -1,0 +1,87 @@
+"""High-cardinality grouped operations via coarse hash partitioning.
+
+Ray Data's ``groupby().aggregate()`` / ``map_groups()`` pays per-GROUP Python
+overhead (~ms); measured on this Ray 2.49 install, a 2-column aggregate over
+40k groups takes ~100 s.  Fine for low-cardinality keys (our relational
+demos), catastrophic for web-scale keys (tokens, content hashes, url buckets,
+candidate pairs).
+
+The pattern here keeps the number of Ray-level groups FIXED at
+``num_partitions`` regardless of key cardinality: a deterministic row hash of
+the key columns assigns each row to one of P coarse partitions, Ray groups by
+that single small-int key (P groups → P Python calls), and the real per-key
+work happens INSIDE each partition with vectorized pandas.  All-key-equal rows
+land in the same partition, so any per-key computation is exact.
+
+Row hashing uses ``pd.util.hash_pandas_object`` (fixed default hash key —
+deterministic across processes and machines, unlike builtin ``hash``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+DEFAULT_PARTITIONS = 64
+
+
+def add_key_partition(df: pd.DataFrame, key_cols: list[str],
+                      num_partitions: int = DEFAULT_PARTITIONS,
+                      col: str = "_kp") -> pd.DataFrame:
+    h = pd.util.hash_pandas_object(df[key_cols], index=False).to_numpy()
+    df = df.copy()
+    df[col] = (h % np.uint64(num_partitions)).astype(np.int64)
+    return df
+
+
+def grouped_apply(ds: ray.data.Dataset, key_cols: list[str],
+                  fn: Callable[[pd.DataFrame], pd.DataFrame], *,
+                  num_partitions: int = DEFAULT_PARTITIONS) -> ray.data.Dataset:
+    """Apply ``fn`` (vectorized pandas, sees every row of each key it
+    receives) once per coarse partition.  ``fn`` must itself group by
+    ``key_cols`` internally; it is called with all rows whose key hashes into
+    one partition."""
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        return add_key_partition(df, key_cols, num_partitions)
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns=["_kp"]))
+
+    return ds.map_batches(bucketize, batch_format="pandas") \
+        .groupby("_kp").map_groups(run, batch_format="pandas")
+
+
+def grouped_agg(ds: ray.data.Dataset, key_cols: list[str],
+                agg_spec: dict[str, tuple[str, str]], *,
+                num_partitions: int = DEFAULT_PARTITIONS) -> ray.data.Dataset:
+    """Exact high-cardinality groupby-aggregate.
+
+    ``agg_spec``: output_col → (input_col, pandas agg name), e.g.
+    ``{"frequency": ("frequency", "sum")}``.  Combine-safe aggs only
+    (sum/min/max/count — callers pre-aggregate per batch first, making the
+    shuffle move partials, not raw rows).
+    """
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_cols, as_index=False, sort=True).agg(
+            **{out: (src, how) for out, (src, how) in agg_spec.items()})
+        return g
+
+    return grouped_apply(ds, key_cols, agg, num_partitions=num_partitions)
+
+
+def distinct_rows(ds: ray.data.Dataset, key_cols: list[str], *,
+                  num_partitions: int = DEFAULT_PARTITIONS) -> ray.data.Dataset:
+    """Exact distinct over arbitrary-cardinality keys (first row per key after
+    a deterministic sort by all columns)."""
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(list(df.columns)).drop_duplicates(subset=key_cols)
+
+    return grouped_apply(ds, key_cols, dedup, num_partitions=num_partitions)

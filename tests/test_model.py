@@ -55,6 +55,15 @@ class TestDecodeSemantics:
     def test_empty_input(self, model):
         assert model.correct_document("") == ""
 
+    def test_chunk_independence(self, model):
+        """Basis of chunk-parallel skew handling: per-chunk correction
+        concatenated equals whole-document correction byte-for-byte."""
+        L = model.max_len
+        text = "The quick brown fox jumps over the lazy dog. " * 6
+        chunks = [text[i : i + L] for i in range(0, len(text), L)]
+        assert "".join(model.correct_document(c) for c in chunks) == \
+            model.correct_document(text)
+
     def test_decode_cap(self, model):
         # generated length ≤ 2 × input length (reference neural_corrector.py:85)
         for text in ("ab", "hello!", "x" * 16):

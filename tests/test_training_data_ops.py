@@ -1,0 +1,171 @@
+"""Training-data extensions: textstats, dedup (exact/minhash/simhash), ANN."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from post_ocr_corrector_ray.stages import dedup as dd
+from post_ocr_corrector_ray.stages import embed as em
+from post_ocr_corrector_ray.stages import textstats as ts
+from post_ocr_corrector_ray.sources.markup import parse_vertical_markup
+
+
+def _doc_table(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+class TestTextStats:
+    def test_token_stats_per_row_spec(self):
+        texts = ["the quick fox", "  a  b  ", "", "word.word, end!"]
+        out = ts.token_stats_batch(_doc_table(texts))
+        for i, t in enumerate(texts):
+            words = t.split()
+            assert out.column("n_chars")[i].as_py() == len(t)
+            assert out.column("n_words")[i].as_py() == len(words)
+            assert out.column("n_punct")[i].as_py() == sum(t.count(c) for c in ".,!?;:")
+            if words:
+                assert out.column("mean_word_len")[i].as_py() == pytest.approx(
+                    sum(len(w) for w in words) / len(words))
+                stops = sum(w in ts.STOPWORDS_EN for w in words)
+                assert out.column("stop_ratio")[i].as_py() == pytest.approx(stops / len(words))
+            else:
+                assert out.column("mean_word_len")[i].as_py() == 0.0
+
+    def test_quality_bounds(self):
+        out = ts.quality_score_batch(_doc_table(["the cat sat on the mat " * 20, "x"]))
+        q = out.column("quality").to_pylist()
+        assert all(0.0 <= v <= 1.0 for v in q)
+        assert q[0] > q[1]
+
+    def test_langid_scripts(self):
+        out = ts.langid_batch(_doc_table([
+            "the cat and the dog is in that house for it",
+            "der hund und die katze ist nicht ein tier mit den",
+            "брза смеђа лисица скаче преко лењог пса",
+            "",
+        ]))
+        preds = out.column("lang_pred").to_pylist()
+        assert preds[0] == "en" and preds[1] == "de" and preds[2] == "sr" and preds[3] == "und"
+
+    def test_fingerprint_deterministic(self):
+        a = ts.fingerprint_batch(_doc_table(["hello world"]))
+        b = ts.fingerprint_batch(_doc_table(["hello world"]))
+        assert a.equals(b)
+        c = ts.fingerprint_batch(_doc_table(["hello worlb"]))
+        assert c.column("content_hash")[0].as_py() != a.column("content_hash")[0].as_py()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedup:
+    def test_exact_dedup_keeps_min_id(self):
+        import ray.data
+
+        tbl = _doc_table(["aaa", "bbb", "aaa", "ccc", "bbb"], ids=[5, 2, 1, 9, 7])
+        out = dd.exact_dedup(ray.data.from_arrow(tbl)).to_pandas()
+        kept = dict(zip(out["text"], out["doc_id"]))
+        assert kept == {"aaa": 1, "bbb": 2, "ccc": 9}
+
+    def test_minhash_finds_near_dups(self):
+        import ray
+
+        base = "the quick brown fox jumps over the lazy dog and runs far away today"
+        texts = [base, base.replace("lazy", "hazy"),           # near-dup pair
+                 "completely different content about database engines and arrow",
+                 "unrelated words regarding mountains rivers and weather patterns"]
+        tbl = _doc_table(texts)
+        texts_map = dict(zip(tbl.column("doc_id").to_pylist(), texts))
+        out = dd.minhash_duplicate_pairs(
+            ray.data.from_arrow(tbl), n_hashes=64, bands=32, k_shingle=5,
+            jaccard_threshold=0.5, texts_ref=ray.put(texts_map)).to_pandas()
+        pairs = set(zip(out["id_a"], out["id_b"]))
+        assert (0, 1) in pairs
+        assert all(p == (0, 1) for p in pairs)
+
+    def test_simhash_near_dup_low_hamming(self):
+        a = dd.simhash64("the quick brown fox jumps over the lazy dog today ok")
+        b = dd.simhash64("the quick brown fox jumps over the hazy dog today ok")
+        c = dd.simhash64("entirely different text on another topic altogether now")
+        ham_ab = bin(a ^ b).count("1")
+        ham_ac = bin(a ^ c).count("1")
+        assert ham_ab < ham_ac
+
+    def test_simhash_candidates_pipeline(self):
+        import ray.data
+
+        base = "the quick brown fox jumps over the lazy dog and runs far away"
+        tbl = _doc_table([base, base.replace("dog", "cat"), "other stuff entirely here now"])
+        # hamming(0,1)=9: needs 8-bit chunks (recall bound: hamming < n_chunks)
+        out = dd.simhash_candidates(ray.data.from_arrow(tbl), max_hamming=16,
+                                    n_chunks=8).to_pandas()
+        assert (0, 1) in set(zip(out["id_a"], out["id_b"]))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbed:
+    def _vec_table(self, n=40, d=8, seed=3):
+        rng = np.random.default_rng(seed)
+        m = rng.normal(size=(n, d))
+        return pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                         "embedding": pa.array([r.tolist() for r in m],
+                                               pa.list_(pa.float32()))}), m
+
+    def test_ann_topk_matches_bruteforce(self):
+        import ray.data
+
+        tbl, m = self._vec_table()
+        m64 = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+        q = m64[7]
+        out = em.ann_topk(ray.data.from_arrow(tbl), q, k=5)
+        sims = np.round((m64 @ q) / (np.linalg.norm(m64, axis=1) * np.linalg.norm(q)), 6)
+        want = list(np.lexsort((np.arange(len(sims)), -sims))[:5])
+        assert out.column("vec_id").to_pylist() == [int(w) for w in want]
+
+    def test_nn_join_excludes_self(self):
+        import ray
+        import ray.data
+
+        tbl, _ = self._vec_table()
+        m64 = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+        ids = np.arange(m64.shape[0], dtype=np.int64)
+        out = em.nearest_neighbor_join(ray.data.from_arrow(tbl),
+                                       ray.put((ids, m64))).to_pandas()
+        assert (out["vec_id"] != out["nn_id"]).all()
+        assert len(out) == len(ids)
+
+    def test_lsh_bucket_deterministic(self):
+        tbl, _ = self._vec_table()
+        planes = em.make_planes(8, bits=4, seed=1)
+        a = em.lsh_bucket_batch(tbl, planes=planes)
+        b = em.lsh_bucket_batch(tbl, planes=planes)
+        assert a.equals(b)
+        assert set(a.column("bucket").to_pylist()) <= set(range(16))
+
+
+class TestMarkupParser:
+    def test_sentences_and_gluing(self):
+        blob = "\n".join([
+            "<s>", "Hello\tH\tX\t0", "<g/>", ",\t,\tX\t0", "world\tw\tX\t0", "</s>",
+            "<s>", "Second\ts\tX\t0", "sentence\ts\tX\t0", "</s>",
+        ])
+        sentences, counters = parse_vertical_markup(blob)
+        assert sentences == [["Hello", "<g/>", ",", "world"], ["Second", "sentence"]]
+        assert counters == {"nested_open": 0, "orphan_close": 0, "bad_line": 0}
+
+    def test_malformed_counted_not_dropped(self):
+        blob = "\n".join([
+            "</s>",                      # orphan close
+            "<s>", "ok\to\tX\t0", "badline", "<s>",  # nested open resets
+            "tok\tt\tX\t0", "</s>",
+        ])
+        sentences, counters = parse_vertical_markup(blob)
+        assert counters["orphan_close"] == 1
+        assert counters["bad_line"] == 1
+        assert counters["nested_open"] == 1
+        assert sentences[-1] == ["tok"]
+
+    def test_token_re_first_of_four_fields(self):
+        blob = "<s>\nsurface lemma pos extra\n</s>"
+        sentences, _ = parse_vertical_markup(blob)
+        assert sentences == [["surface"]]
