@@ -1,0 +1,164 @@
+"""Command-line entry points — the engine's analog of the reference's scripts.
+
+Reference script → subcommand mapping (a reference user can run every pipeline
+they run today):
+
+| reference script | subcommand |
+|---|---|
+| ``to_plain_text.py`` (markup → sentences) | ``parse-markup`` |
+| ``all_chars.py`` | ``alphabet`` |
+| ``make_messy_dataset.py`` | ``corpus`` (adds messy column) |
+| ``make_split_csv.py`` | ``corpus`` (adds split column) |
+| ``eval.py`` / ``null_corrector.py`` | ``eval`` |
+| ``dictionary_corrector.py`` train | ``build-dictionary`` |
+| inference over pages | ``run`` (extract+correct, committed output) |
+| — | ``synth`` (deterministic test pages) |
+
+The CLI owns the Ray session (``ray.init(address="local")``); library code
+never does.  All outputs are partitioned parquet.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="post-ocr-corrector-ray", description=__doc__)
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("synth", help="write deterministic synthetic pages parquet")
+    s.add_argument("out"); s.add_argument("--n", type=int, default=1000)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--golden", default=None)
+
+    s = sub.add_parser("run", help="extract + correct pages → committed partitions")
+    s.add_argument("pages"); s.add_argument("out_dir")
+    s.add_argument("--corrector", choices=["null", "neural", "dictionary"], default="null")
+    s.add_argument("--model-dir", default=None)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--no-resume", action="store_true")
+    s.add_argument("--chunk-parallel", action="store_true")
+    s.add_argument("--concurrency", type=int, default=4)
+
+    s = sub.add_parser("alphabet", help="distinct-char aggregate over a text column")
+    s.add_argument("parquet"); s.add_argument("--column", default="text")
+    s.add_argument("--out", default=None)
+
+    s = sub.add_parser("corpus", help="pages → (url, clean, messy, split) corpus")
+    s.add_argument("pages"); s.add_argument("out_dir")
+    s.add_argument("--good-chars", default="abcdefghijklmnopqrstuvwxyz ")
+
+    s = sub.add_parser("build-dictionary", help="train-split vocab → dictionary.json")
+    s.add_argument("corpus_parquet"); s.add_argument("out_json")
+    s.add_argument("--min-frequency", type=int, default=2)
+    s.add_argument("--column", default="clean")
+
+    s = sub.add_parser("eval", help="CER + percent-perfect of out vs clean columns")
+    s.add_argument("parquet")
+    s.add_argument("--out-col", default="corrected_text")
+    s.add_argument("--clean-col", default="clean")
+    s.add_argument("--banded", action="store_true")
+
+    s = sub.add_parser("parse-markup", help="vertical-markup dir → sentences parquet")
+    s.add_argument("markup_dir"); s.add_argument("out_dir")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "synth":
+        from .sources.synth import write_pages_parquet
+
+        write_pages_parquet(args.out, args.n, seed=args.seed, golden_path=args.golden)
+        print(f"wrote {args.n} pages to {args.out}")
+        return 0
+
+    ray = _ray_session(args.num_cpus)
+    import ray.data
+
+    try:
+        if args.cmd == "run":
+            from .model.artifacts import load_dictionary, load_model_dir
+            from .pipelines.extract_correct import extract_correct
+
+            kwargs: dict = {}
+            if args.corrector == "neural":
+                assert args.model_dir, "--model-dir required for neural"
+                from .model.artifacts import read_alphabet
+
+                kwargs = dict(alphabet=read_alphabet(args.model_dir),
+                              model_path=os.path.join(args.model_dir, "weights.npz"))
+            elif args.corrector == "dictionary":
+                assert args.model_dir, "--model-dir required for dictionary"
+                corr = load_dictionary(args.model_dir)
+                kwargs = dict(vocab_ref=ray.put(corr.vocabulary),
+                              min_frequency=corr.min_frequency)
+            summary = extract_correct(
+                ray.data.read_parquet(args.pages), corrector=args.corrector,
+                out_dir=args.out_dir, num_partitions=args.partitions,
+                resume=not args.no_resume, chunk_parallel=args.chunk_parallel,
+                concurrency=args.concurrency, **kwargs).to_pandas()
+            print(json.dumps({"partitions_committed": len(summary),
+                              "rows": int(summary["n_rows"].sum()) if len(summary) else 0}))
+        elif args.cmd == "alphabet":
+            from .pipelines.corpus import compute_alphabet
+
+            alpha = compute_alphabet(ray.data.read_parquet(args.parquet),
+                                     text_col=args.column)
+            if args.out:
+                with open(args.out, "w", encoding="utf-8") as f:
+                    f.write(alpha)
+            print(json.dumps({"alphabet_size": len(alpha), "alphabet": alpha}))
+        elif args.cmd == "corpus":
+            from .pipelines.corpus import corpus_from_pages
+
+            ds = corpus_from_pages(ray.data.read_parquet(args.pages),
+                                   good_chars=args.good_chars)
+            ds.write_parquet(args.out_dir)
+            print(f"corpus written to {args.out_dir}")
+        elif args.cmd == "build-dictionary":
+            from .pipelines.corpus import build_dictionary
+
+            corr = build_dictionary(ray.data.read_parquet(args.corpus_parquet),
+                                    text_col=args.column, split=None,
+                                    min_frequency=args.min_frequency)
+            corr.save(args.out_json)
+            print(json.dumps({"vocab_size": len(corr.vocabulary)}))
+        elif args.cmd == "eval":
+            from .pipelines.evaluate import evaluate
+
+            res = evaluate(ray.data.read_parquet(args.parquet),
+                           out_col=args.out_col, correct_col=args.clean_col,
+                           banded=args.banded)
+            print(json.dumps({"mean_cer": res.mean_cer,
+                              "percent_perfect": res.percent_perfect, "n": res.n}))
+        elif args.cmd == "parse-markup":
+            from .sources.markup import read_markup_dir
+
+            read_markup_dir(args.markup_dir).write_parquet(args.out_dir)
+            print(f"sentences written to {args.out_dir}")
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

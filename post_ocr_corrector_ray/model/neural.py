@@ -81,11 +81,12 @@ class NeuralCorrectorModel:
         B, in_length = src_ids.shape
         src = np.where(src_ids == INT_EMPTY, v.pad_index, src_ids)
         memory = self.net.encode(src)
+        mem_kv = self.net.precompute_memory_kv(memory)
         sequence = np.full((B, 1), v.bookend_index, dtype=np.int64)
         terminated = np.zeros(B, dtype=bool)
         while sequence.shape[1] <= 2 * in_length:
             window = sequence[:, -self.max_len:] if sequence.shape[1] > self.max_len else sequence
-            logits = self.net.decode_last_logits(window, memory)
+            logits = self.net.decode_last_logits(window, memory, mem_kv)
             new = logits.argmax(axis=1).astype(np.int64)
             terminated = terminated | (new == v.bookend_index)
             if terminated.all():

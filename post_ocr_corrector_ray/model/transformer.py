@@ -73,13 +73,21 @@ def _softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
     return e / e.sum(axis=axis, keepdims=True)
 
 
-def _mha(q_in: np.ndarray, kv_in: np.ndarray, w: dict, n_head: int) -> np.ndarray:
-    """Multi-head attention, shapes (B, L, D); packed qkv like torch MHA."""
+def _mha(q_in: np.ndarray, kv_in: np.ndarray, w: dict, n_head: int,
+         kv_cache: tuple[np.ndarray, np.ndarray] | None = None) -> np.ndarray:
+    """Multi-head attention, shapes (B, L, D); packed qkv like torch MHA.
+
+    ``kv_cache``: precomputed (k, v) projections of a FIXED kv input (the
+    encoder memory during greedy decode) — identical math, computed once per
+    decode instead of once per step."""
     d = q_in.shape[-1]
     dh = d // n_head
     q = q_in @ w["wq"].T + w["bq"]
-    k = kv_in @ w["wk"].T + w["bk"]
-    v = kv_in @ w["wv"].T + w["bv"]
+    if kv_cache is not None:
+        k, v = kv_cache
+    else:
+        k = kv_in @ w["wk"].T + w["bk"]
+        v = kv_in @ w["wv"].T + w["bv"]
     B, Lq, _ = q.shape
     Lk = k.shape[1]
     q = q.reshape(B, Lq, n_head, dh).transpose(0, 2, 1, 3)
@@ -200,7 +208,17 @@ class Transformer:
         return _layer_norm(x, self.w["enc_final_norm.g"], self.w["enc_final_norm.b"],
                            self.cfg.layer_norm_eps)
 
-    def decode_last_logits(self, tgt_ids: np.ndarray, memory: np.ndarray) -> np.ndarray:
+    def precompute_memory_kv(self, memory: np.ndarray) -> list:
+        """Cross-attention K/V projections of the (fixed) encoder memory, one
+        pair per decoder layer — hoisted out of the per-step decode loop."""
+        out = []
+        for layer in range(self.cfg.n_layers):
+            w = self._attn_params(f"dec{layer}", 1)
+            out.append((memory @ w["wk"].T + w["bk"], memory @ w["wv"].T + w["bv"]))
+        return out
+
+    def decode_last_logits(self, tgt_ids: np.ndarray, memory: np.ndarray,
+                           mem_kv: list | None = None) -> np.ndarray:
         """Run the decoder over the full target prefix (B, Lt) with UNMASKED
         self-attention — the reference's inference decode passes no tgt_mask
         (neural_corrector.py:92) — and return logits for the LAST position."""
@@ -210,7 +228,8 @@ class Transformer:
             pre = f"dec{layer}"
             h = self._norm(x, pre, 0)
             x = x + _mha(h, h, self._attn_params(pre, 0), nh)
-            x = x + _mha(self._norm(x, pre, 1), memory, self._attn_params(pre, 1), nh)
+            x = x + _mha(self._norm(x, pre, 1), memory, self._attn_params(pre, 1), nh,
+                         kv_cache=mem_kv[layer] if mem_kv is not None else None)
             x = x + _ff(self._norm(x, pre, 2), self._ff_params(pre))
         x = _layer_norm(x, self.w["dec_final_norm.g"], self.w["dec_final_norm.b"],
                         self.cfg.layer_norm_eps)

@@ -1,0 +1,89 @@
+"""Model-dir artifacts + CLI smoke (subprocess-free: main() called directly
+except one true end-to-end subprocess run)."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from post_ocr_corrector_ray.model.artifacts import (
+    load_dictionary,
+    load_hparams,
+    load_model_dir,
+    read_alphabet,
+    save_model_dir,
+    whitespace_indices,
+)
+from post_ocr_corrector_ray.model.dictionary import DictionaryCorrector
+from post_ocr_corrector_ray.model.neural import NeuralCorrectorModel
+
+ALPHA = " .abcdefghij"
+
+
+class TestArtifacts:
+    def test_model_dir_round_trip(self, tmp_path, tiny_hparams):
+        model = NeuralCorrectorModel.from_seed(ALPHA, seed=3, **tiny_hparams)
+        d = DictionaryCorrector({"abc": 3}, min_frequency=1)
+        mdir = str(tmp_path / "m")
+        save_model_dir(mdir, model, dictionary=d, extra_hparams={"note": "x"})
+        hp = load_hparams(mdir)
+        assert hp["max_len"] == tiny_hparams["max_len"] and hp["note"] == "x"
+        assert read_alphabet(mdir) == ALPHA
+        loaded = load_model_dir(mdir)
+        text = "a bad cafe hid a jig."
+        assert loaded.correct_document(text) == model.correct_document(text)
+        assert load_dictionary(mdir).vocabulary == {"abc": 3}
+
+    def test_alphabet_newline_stripped(self, tmp_path):
+        # get_alphabet semantics: \n in the file never enters the alphabet
+        mdir = tmp_path / "m2"
+        mdir.mkdir()
+        (mdir / "alphabet.txt").write_text("ab\ncd\n")
+        assert read_alphabet(str(mdir)) == "abcd"
+
+    def test_whitespace_indices(self):
+        assert whitespace_indices(" a\tb") == {0, 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCli:
+    def test_synth_and_run_null(self, tmp_path):
+        from post_ocr_corrector_ray.cli import main
+
+        pages = str(tmp_path / "pages.parquet")
+        # synth runs without ray
+        assert main(["synth", pages, "--n", "40"]) == 0
+        # the heavier subcommands share the session fixture's Ray
+        out = str(tmp_path / "out")
+        assert main(["run", pages, out, "--corrector", "null",
+                     "--partitions", "4"]) == 0
+        from post_ocr_corrector_ray.state.lineage import committed_partitions
+
+        assert len(committed_partitions(out)) > 0
+
+    def test_eval_subcommand(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from post_ocr_corrector_ray.cli import main
+
+        f = str(tmp_path / "pairs.parquet")
+        pq.write_table(pa.table({"corrected_text": ["ab", "xyz"],
+                                 "clean": ["abcd", "xyz"]}), f)
+        assert main(["eval", f]) == 0
+
+    def test_subprocess_end_to_end(self, tmp_path):
+        """One real subprocess run proving the CLI owns its own session."""
+        pages = str(tmp_path / "p.parquet")
+        out = str(tmp_path / "o")
+        r1 = subprocess.run([sys.executable, "-m", "post_ocr_corrector_ray.cli",
+                             "synth", pages, "--n", "30"],
+                            capture_output=True, text=True, cwd="/root/repo")
+        assert r1.returncode == 0, r1.stderr[-500:]
+        r2 = subprocess.run([sys.executable, "-m", "post_ocr_corrector_ray.cli",
+                             "--num-cpus", "2", "run", pages, out,
+                             "--corrector", "null", "--partitions", "2"],
+                            capture_output=True, text=True, cwd="/root/repo")
+        assert r2.returncode == 0, r2.stderr[-500:]
+        assert json.loads(r2.stdout.strip().splitlines()[-1])["rows"] == 30
