@@ -95,10 +95,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_topk": lambda sf: E.emb_ann_topk(sf),
         "emb_ann_topk_lsh": lambda sf: E.emb_ann_topk_lsh(sf),
         "emb_nn_join": E.emb_nn_join,
+        "emb_cosine_dups": lambda sf: E.emb_cosine_dups(sf),
         # relational capability (groupby/join/sort/window)
         "pricing_summary": R.pricing_summary,
         "top_customers": lambda sf: R.top_customers(sf),
         "order_priority_counts": R.order_priority_counts,
+        "parts_by_brand": R.parts_by_brand,
+        "supplier_counts_by_region": R.supplier_counts_by_region,
         "events_hourly": R.events_hourly,
         "events_sessions": lambda sf: R.events_sessions(sf),
     }
@@ -183,6 +186,27 @@ def oracle_sql() -> dict[str, str]:
                                 b.vec_id) AS rn
               FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
             WHERE rn = 1""",
+        "emb_cosine_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])), 6) >= 0.4""",
+        "parts_by_brand": """
+            SELECT p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+                       AS total_retail,
+                   CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) * 1.0 / COUNT(*) AS avg_size
+            FROM part GROUP BY p_brand""",
+        "supplier_counts_by_region": """
+            SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

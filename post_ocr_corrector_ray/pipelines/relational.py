@@ -150,6 +150,53 @@ def events_hourly(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(agg.sort_values(["event_type", "hour"]), preserve_index=False)
 
 
+def parts_by_brand(sf_dir: str) -> pa.Table:
+    """Part stats per brand: count, total retail (exact cents), avg size."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"p_brand": batch.column("p_brand").to_pandas(),
+                           "cents": _cents(batch.column("p_retailprice")),
+                           "size": batch.column("p_size").to_numpy().astype(np.int64)})
+        g = df.groupby("p_brand", as_index=False).agg(
+            n=("cents", "size"), cents=("cents", "sum"), size_sum=("size", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("p_brand").aggregate(Sum("n", alias_name="n"),
+                                      Sum("cents", alias_name="cents"),
+                                      Sum("size_sum", alias_name="size_sum")).to_pandas()
+    res = pd.DataFrame({
+        "p_brand": agg["p_brand"],
+        "n_parts": agg["n"].astype("int64"),
+        "total_retail": agg["cents"].astype("int64") / 100.0,
+        "avg_size": agg["size_sum"].astype("int64") * 1.0 / agg["n"].astype("int64"),
+    })
+    return pa.Table.from_pandas(res.sort_values("p_brand"), preserve_index=False)
+
+
+def supplier_counts_by_region(sf_dir: str) -> pa.Table:
+    """supplier → nation → region broadcast-join chain, count per region."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"].astype(int),
+                   nation["n_regionkey"].astype(int)))
+    r2name = dict(zip(region["r_regionkey"].astype(int), region["r_name"]))
+    ds = _read(sf_dir, "supplier", ["s_nationkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk = batch.column("s_nationkey").to_numpy().astype(np.int64)
+        names = [r2name[n2r[int(k)]] for k in nk]
+        df = pd.DataFrame({"r_name": names})
+        g = df.groupby("r_name", as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("r_name").aggregate(Sum("n", alias_name="n_suppliers")).to_pandas()
+    agg["n_suppliers"] = agg["n_suppliers"].astype("int64")
+    return pa.Table.from_pandas(agg.sort_values("r_name"), preserve_index=False)
+
+
 def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     """Per-user sessionization (gap-based), the stream-shaped op: groupby(user)
     → per-group sort by (ts, event_id) → gap scan (ray_guide streaming recipe)."""
