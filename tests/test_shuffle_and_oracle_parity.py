@@ -1,0 +1,106 @@
+"""Coarse hash-partitioned shuffle helper + fast SQL-oracle parity guard.
+
+The parity tests mirror the driver's correctness gate at sf0.001 for a
+representative subset of SQL-backed queries — a fast regression alarm between
+full driver runs.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from post_ocr_corrector_ray.stages.shuffle import distinct_rows, grouped_agg, grouped_apply
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES.split():
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShuffleHelpers:
+    def test_grouped_agg_matches_pandas(self):
+        import ray.data
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({"k": rng.integers(0, 5000, 20000).astype("int64"),
+                           "v": rng.integers(0, 100, 20000).astype("int64")})
+        got = grouped_agg(ray.data.from_pandas(df), ["k"],
+                          {"total": ("v", "sum"), "lo": ("v", "min")}).to_pandas()
+        want = df.groupby("k", as_index=False).agg(total=("v", "sum"), lo=("v", "min"))
+        pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+    def test_distinct_rows_deterministic_winner(self):
+        import ray.data
+
+        df = pd.DataFrame({"k": [1, 1, 2, 2, 3], "v": [9, 3, 5, 5, 1]})
+        got = distinct_rows(ray.data.from_pandas(df), ["k"]).to_pandas()
+        # winner per key = first row after sort by all columns → min (k, v)
+        want = pd.DataFrame({"k": [1, 2, 3], "v": [3, 5, 1]})
+        pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+    def test_grouped_apply_sees_whole_key(self):
+        import ray.data
+
+        df = pd.DataFrame({"k": np.arange(1000) % 97, "v": np.arange(1000)})
+
+        def span(d: pd.DataFrame) -> pd.DataFrame:
+            return d.groupby("k", as_index=False).agg(span=("v", lambda s: s.max() - s.min()))
+
+        got = grouped_apply(ray.data.from_pandas(df), ["k"], span).to_pandas()
+        want = df.groupby("k", as_index=False).agg(span=("v", lambda s: s.max() - s.min()))
+        pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOracleParitySubset:
+    """Driver-gate mirror: Ray result vs DuckDB oracle, sf0.001."""
+
+    @pytest.mark.parametrize("name", [
+        "doc_normalize_ws", "doc_token_counts", "doc_split_assignment",
+        "doc_dedup_exact", "emb_ann_topk", "order_priority_counts",
+        "events_sessions", "supplier_counts_by_region",
+    ])
+    def test_query_matches_oracle(self, con, name):
+        import __ray_entry__ as entry
+
+        res = entry.queries()[name](SF)
+        got = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+        want = con.execute(entry.oracle_sql()[name]).fetchdf()
+        got, want = _canon(got), _canon(want)
+        assert list(got.columns) == list(want.columns)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+class TestExplodeChunks:
+    def test_explode_and_reassemble_identity(self):
+        from post_ocr_corrector_ray.pipelines.extract_correct import (
+            _reassemble_df,
+            explode_chunks,
+        )
+
+        tbl = pa.table({
+            "url": ["u1", "u2", "u3"],
+            "extracted_text": ["x" * 100, "short", ""],
+            "n_chars": pa.array([100, 5, 0], pa.int64()),
+        })
+        out = explode_chunks(tbl, max_len=16, threshold=32)
+        assert out.num_rows == int(np.ceil(100 / 16)) + 2
+        df = out.to_pandas()
+        df["corrected_text"] = df["extracted_text"]  # fake correction
+        back = _reassemble_df(df).sort_values("url").reset_index(drop=True)
+        assert back["extracted_text"].tolist() == ["x" * 100, "short", ""]
+        assert back["corrected_text"].tolist() == ["x" * 100, "short", ""]
