@@ -134,11 +134,13 @@ def doc_simhash_candidates(sf_dir: str) -> ray.data.Dataset:
 
 
 def doc_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
-    """MinHash-LSH near-duplicate pairs verified by shingle Jaccard ≥ 0.35.
+    """MinHash-LSH near-duplicate pairs verified by shingle Jaccard ≥ 0.5.
 
-    Threshold calibrated against the synthetic corpus: random same-vocabulary
-    pairs sit at jaccard ≈ 0.17 (p99 = 0.26) for k=5 char shingles, so 0.35
-    admits only genuinely overlapping documents."""
+    Calibration: random same-vocabulary pairs sit at jaccard ≈ 0.17
+    (p99 = 0.26) for k=5 char shingles.  The b=16/r=4 banding has its S-curve
+    threshold at (1/16)^(1/4) ≈ 0.5 — background pairs become candidates at
+    ~1.3% while genuinely overlapping documents pass; a b=32/r=2 profile
+    admits ~60% of ALL pairs and melts at scale."""
     import ray
 
     tbl = pa.concat_tables(
@@ -147,8 +149,8 @@ def doc_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
     texts = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
     texts_ref = ray.put(texts)
     return dd.minhash_duplicate_pairs(
-        ray.data.from_arrow(tbl), n_hashes=64, bands=32, k_shingle=5,
-        jaccard_threshold=0.35, texts_ref=texts_ref)
+        ray.data.from_arrow(tbl), n_hashes=64, bands=16, k_shingle=5,
+        jaccard_threshold=0.5, texts_ref=texts_ref)
 
 
 def doc_mutilate(sf_dir: str, good_chars: str = "abcdefghijklmnopqrstuvwxyz ") -> ray.data.Dataset:

@@ -160,7 +160,11 @@ def extract_correct(pages: ray.data.Dataset, *, corrector: CorrectorKind = "null
     if chunk_parallel:
         assert corrector == "neural", "chunk-parallel correction is char-level only"
         max_len = (correct_kwargs.get("hparams") or {}).get("max_len", 512)
-        thr = chunk_threshold if chunk_threshold is not None else 8 * max_len
+        # Only true giants should explode: each chunk row pays per-row decode
+        # overhead, so exploding median documents COSTS throughput (measured
+        # 4× at threshold 8×max_len). Giants are rare; spreading them kills
+        # the straggler without touching the common path.
+        thr = chunk_threshold if chunk_threshold is not None else 64 * max_len
         ds = ds.map_batches(explode_chunks, batch_format="pyarrow",
                             fn_kwargs=dict(max_len=max_len, threshold=thr))
     ds = correct_stage(ds, corrector=corrector, **correct_kwargs)

@@ -169,6 +169,9 @@ def minhash_duplicate_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     cand = _bucket_pairs_partitioned(bands_ds, ["band_id", "band_hash"], id_col)
     if texts_ref is None:
         return cand
+    # candidate set can be large (background-similarity collisions): split it
+    # into blocks so the verify actor pool actually parallelizes
+    cand = cand.repartition(32)
 
     class Verify:
         def __init__(self):
@@ -186,7 +189,7 @@ def minhash_duplicate_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
             return out.filter(pc.greater_equal(out.column("jaccard"),
                                                jaccard_threshold))
 
-    return cand.map_batches(Verify, batch_format="pyarrow", concurrency=2)
+    return cand.map_batches(Verify, batch_format="pyarrow", concurrency=(2, 8))
 
 
 # --- SimHash ------------------------------------------------------------------
