@@ -91,9 +91,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": D.doc_simhash,
         "doc_simhash_candidates": D.doc_simhash_candidates,
         "doc_minhash_pairs": D.doc_minhash_pairs,
+        "doc_ngram_jaccard_pairs": D.doc_ngram_jaccard_pairs,
         # embeddings / similarity search
         "emb_ann_topk": lambda sf: E.emb_ann_topk(sf),
         "emb_ann_topk_lsh": lambda sf: E.emb_ann_topk_lsh(sf),
+        "emb_ann_topk_ivf": lambda sf: E.emb_ann_topk_ivf(sf),
         "emb_nn_join": E.emb_nn_join,
         "emb_cosine_dups": lambda sf: E.emb_cosine_dups(sf),
         # relational capability (groupby/join/sort/window)
@@ -104,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_counts_by_region": R.supplier_counts_by_region,
         "events_hourly": R.events_hourly,
         "events_sessions": lambda sf: R.events_sessions(sf),
+        "events_user_rolling": lambda sf: R.events_user_rolling(sf),
     }
 
 
@@ -241,6 +244,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        "events_user_rolling": """
+            SELECT event_id, user_id,
+                   CAST(COUNT(*) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n_in_window
+            FROM events""",
         "events_sessions": """
             WITH marks AS (
               SELECT user_id,

@@ -54,6 +54,18 @@ def hash_u64_array(values: np.ndarray, seed: int) -> np.ndarray:
     return x
 
 
+def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Hashes of word n-grams (whitespace tokens), deduplicated — the
+    token-level counterpart of char shingles for n-gram Jaccard dedup."""
+    toks = text.split()
+    if len(toks) < n:
+        base = " ".join(toks) if toks else "\x00"
+        return np.array([stable_hash_u64(base)], dtype=np.uint64)
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    vals = np.array([stable_hash_u64(g) for g in grams], dtype=np.uint64)
+    return np.unique(vals)
+
+
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Rolling k-gram (character shingle) hashes as uint64, deduplicated.
 

@@ -153,6 +153,18 @@ def doc_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
         jaccard_threshold=0.5, texts_ref=texts_ref)
 
 
+def doc_ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Word-3-gram Jaccard near-dup pairs (token-level dedup variant)."""
+    import ray
+
+    tbl = pa.concat_tables(
+        [b for b in _docs(sf_dir, ["doc_id", "text"])
+         .iter_batches(batch_size=65536, batch_format="pyarrow")])
+    texts = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    return dd.ngram_jaccard_pairs(ray.data.from_arrow(tbl), n_gram=3,
+                                  jaccard_threshold=0.3, texts_ref=ray.put(texts))
+
+
 def doc_mutilate(sf_dir: str, good_chars: str = "abcdefghijklmnopqrstuvwxyz ") -> ray.data.Dataset:
     """Keyed noise per doc (reference mutilate semantics, RNG keyed by doc_id)."""
     ds = _docs(sf_dir, ["doc_id", "text"])

@@ -9,7 +9,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-from ..stages.embed import ann_topk, ann_topk_lsh, nearest_neighbor_join
+from ..stages.embed import ann_topk, ann_topk_ivf, ann_topk_lsh, nearest_neighbor_join
 
 
 def _emb(sf_dir: str) -> ray.data.Dataset:
@@ -29,6 +29,11 @@ def emb_ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
 
 def emb_ann_topk_lsh(sf_dir: str, k: int = 10) -> pa.Table:
     return ann_topk_lsh(_emb(sf_dir), _query_vector(sf_dir, 0), k=k, bits=4)
+
+
+def emb_ann_topk_ivf(sf_dir: str, k: int = 10) -> pa.Table:
+    return ann_topk_ivf(_emb(sf_dir), _query_vector(sf_dir, 0), k=k,
+                        n_clusters=16, n_probe=4)
 
 
 def emb_cosine_dups(sf_dir: str, threshold: float = 0.4) -> ray.data.Dataset:

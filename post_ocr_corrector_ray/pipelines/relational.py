@@ -150,6 +150,32 @@ def events_hourly(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(agg.sort_values(["event_type", "hour"]), preserve_index=False)
 
 
+def events_user_rolling(sf_dir: str, window_hours: int = 1) -> ray.data.Dataset:
+    """Sliding-window count per event: how many of the same user's events fall
+    in [ts - window, ts] (boundary-inclusive, matching SQL RANGE frames).
+
+    Ray shape: coarse hash-partition by user → per-partition pandas
+    ``rolling`` over time (vectorized across all users in the partition via
+    groupby-rolling).  The stream-shaped sliding window of SURVEY §2.9's
+    "custom operators" note."""
+    import pandas as pd
+
+    from ..stages.shuffle import grouped_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def rolling(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        counts = (df.set_index("ts").groupby("user_id")["event_id"]
+                  .rolling(f"{window_hours * 3600}s", closed="both").count()
+                  .astype("int64").reset_index(drop=True))
+        out = df[["event_id", "user_id"]].reset_index(drop=True)
+        out["n_in_window"] = counts.to_numpy()
+        return out
+
+    return grouped_apply(ds, ["user_id"], rolling)
+
+
 def parts_by_brand(sf_dir: str) -> pa.Table:
     """Part stats per brand: count, total retail (exact cents), avg size."""
     ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])

@@ -92,6 +92,70 @@ def _jaccard(a: str, b: str, k: int) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def word_ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Exact Jaccard over word n-grams (token-level near-dup measure)."""
+    from ..functions.hashing import word_ngram_hashes
+
+    sa = set(word_ngram_hashes(a, n=n).tolist())
+    sb = set(word_ngram_hashes(b, n=n).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def ngram_jaccard_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
+                        id_col: str = "doc_id", n_gram: int = 3,
+                        n_hashes: int = 64, bands: int = 16,
+                        jaccard_threshold: float = 0.3,
+                        texts_ref=None) -> ray.data.Dataset:
+    """Word-n-gram Jaccard near-dup pairs: MinHash-LSH candidate generation
+    over word n-gram hashes, verified with exact token-level Jaccard."""
+    from ..functions.hashing import word_ngram_hashes
+
+    rows_per_band = n_hashes // bands
+
+    def bands_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        out_band, out_hash, out_id = [], [], []
+        for i, t in zip(ids, texts):
+            grams = word_ngram_hashes(t or "", n=n_gram)
+            sig = np.empty(n_hashes, dtype=np.uint64)
+            for h in range(n_hashes):
+                sig[h] = hash_u64_array(grams, seed=h).min()
+            for b in range(bands):
+                seg = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                out_band.append(b)
+                out_hash.append(int(hash_u64_array(seg, seed=2000 + b).sum())
+                                & 0x7FFFFFFFFFFFFFFF)
+                out_id.append(i)
+        return pa.table({"band_id": pa.array(out_band, pa.int32()),
+                         "band_hash": pa.array(out_hash, pa.int64()),
+                         id_col: pa.array(out_id, pa.int64())})
+
+    cand = _bucket_pairs_partitioned(
+        ds.map_batches(bands_batch, batch_format="pyarrow"),
+        ["band_id", "band_hash"], id_col)
+    if texts_ref is None:
+        return cand
+    cand = cand.repartition(32)
+
+    class VerifyNgram:
+        def __init__(self):
+            import ray
+
+            self.texts = ray.get(texts_ref) if not isinstance(texts_ref, dict) else texts_ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ja = [word_ngram_jaccard(self.texts.get(a, ""), self.texts.get(b, ""), n_gram)
+                  for a, b in zip(batch.column("id_a").to_pylist(),
+                                  batch.column("id_b").to_pylist())]
+            out = batch.append_column("jaccard", pa.array(ja, pa.float64()))
+            return out.filter(pc.greater_equal(out.column("jaccard"), jaccard_threshold))
+
+    return cand.map_batches(VerifyNgram, batch_format="pyarrow", concurrency=(2, 8))
+
+
 MAX_BUCKET = 64          # LSH buckets larger than this are boilerplate collisions
 _PAIR_PARTITIONS = 64    # coarse partitions for vectorized bucket-joins
 

@@ -95,6 +95,67 @@ def nearest_neighbor_join(ds: ray.data.Dataset, all_vectors_ref, *,
     return ds.map_batches(nn_batch, batch_format="pyarrow")
 
 
+def kmeans_fit(sample: np.ndarray, n_clusters: int, n_iter: int = 10,
+               seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd k-means (NumPy) for the IVF coarse quantizer.
+
+    At 100 TB the sample comes from ``ds.random_sample(frac, seed)`` — the
+    quantizer trains on a driver-side sample, assignment runs distributed."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+    centroids = sample[np.sort(idx)].copy()
+    for _ in range(n_iter):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assign_batch(batch: pa.Table, *, centroids: np.ndarray,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
+    m = _to_matrix(batch.column(vec_col))
+    d2 = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    return pa.table({id_col: batch.column(id_col),
+                     "ivf_cluster": pa.array(d2.argmin(axis=1).astype(np.int64))})
+
+
+def ann_topk_ivf(ds: ray.data.Dataset, query: np.ndarray, *, k: int = 10,
+                 n_clusters: int = 16, n_probe: int = 4, seed: int = 42,
+                 train_sample: np.ndarray | None = None,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
+    """IVF approximate top-k: score only vectors whose coarse cluster is among
+    the query's ``n_probe`` nearest centroids (the classic inverted-file ANN
+    scale path; brute force within probed lists)."""
+    if train_sample is None:
+        sample_rows = ds.limit(4096).to_pandas()
+        train_sample = np.array(sample_rows[vec_col].tolist(), dtype=np.float64)
+    centroids = kmeans_fit(train_sample, n_clusters, seed=seed)
+    qd2 = ((centroids - query[None, :]) ** 2).sum(axis=1)
+    probe = set(np.argsort(qd2)[:n_probe].tolist())
+
+    def local(batch: pa.Table) -> pa.Table:
+        assign = ivf_assign_batch(batch, centroids=centroids, vec_col=vec_col,
+                                  id_col=id_col)
+        keep = pa.array([c in probe for c in assign.column("ivf_cluster").to_pylist()])
+        cand = batch.filter(keep)
+        if cand.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        scored = cosine_sim_batch(cand, query=query, vec_col=vec_col, id_col=id_col)
+        sims = scored.column("sim").to_numpy()
+        ids = scored.column(id_col).to_numpy()
+        order = np.lexsort((ids, -sims))[:k]
+        return scored.take(pa.array(order))
+
+    parts = ds.map_batches(local, batch_format="pyarrow").take_all()
+    rows = sorted(parts, key=lambda r: (-r["sim"], r[id_col]))[:k]
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+
+
 def lsh_bucket_batch(batch: pa.Table, *, planes: np.ndarray,
                      vec_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
     """Random-hyperplane LSH bucket id per vector (the ANN scale path):
