@@ -66,7 +66,8 @@ def run_benchmarks() -> dict:
         "events_hourly", "events_sessions", "doc_token_counts",
         "doc_normalize_ws", "doc_dedup_exact", "doc_token_stats",
         "doc_lev_reverse", "doc_simhash", "doc_minhash_pairs",
-        "emb_ann_topk", "emb_nn_join", "doc_null_corrector_cer",
+        "doc_ngram_jaccard_pairs", "emb_ann_topk", "emb_nn_join",
+        "emb_cosine_dups", "events_user_rolling", "doc_null_corrector_cer",
     ]
     qs = entry.queries()
     for name in bench_queries:

@@ -148,7 +148,12 @@ def extract_correct(pages: ray.data.Dataset, *, corrector: CorrectorKind = "null
     ``chunk_parallel``: explode giant documents into chunk rows before the
     corrector (neural only) and reassemble afterwards — in the committed path
     the reassembly piggybacks on the partition shuffle (zero extra exchanges);
-    the uncommitted path adds a ``groupby(url)``."""
+    the uncommitted path adds a ``groupby(url)``.  Measured guidance: with the
+    tiny bench model the batched intra-document decode already amortizes
+    giants, so explosion LOSES throughput (per-chunk-row decode overhead +
+    reassembly barrier); enable it only when one document's serial cost is
+    many times the per-batch budget (e.g. multi-MB pages × a 512-max_len
+    model), which is exactly the 100 TB skew case it exists for."""
     ds = pages
     committed: frozenset[int] = frozenset()
     if out_dir is not None and resume:
