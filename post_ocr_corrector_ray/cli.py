@@ -111,11 +111,14 @@ def main(argv: list[str] | None = None) -> int:
                 corr = load_dictionary(args.model_dir)
                 kwargs = dict(vocab_ref=ray.put(corr.vocabulary),
                               min_frequency=corr.min_frequency)
+            from .state.lineage import fingerprint_inputs
+
             summary = extract_correct(
                 ray.data.read_parquet(args.pages), corrector=args.corrector,
                 out_dir=args.out_dir, num_partitions=args.partitions,
                 resume=not args.no_resume, chunk_parallel=args.chunk_parallel,
-                concurrency=args.concurrency, **kwargs).to_pandas()
+                concurrency=args.concurrency,
+                input_fingerprint=fingerprint_inputs(args.pages), **kwargs).to_pandas()
             print(json.dumps({"partitions_committed": len(summary),
                               "rows": int(summary["n_rows"].sum()) if len(summary) else 0}))
         elif args.cmd == "alphabet":

@@ -34,6 +34,30 @@ from .. import __version__
 SUCCESS_NAME = "_SUCCESS.json"
 
 
+def fingerprint_inputs(paths: list[str] | str) -> str:
+    """Deterministic fingerprint of the input fileset: sorted
+    (basename, size) pairs hashed — identifies WHAT was processed without
+    reading payloads, so a resumed run can detect input drift cheaply.
+    Accepts file paths, directories (their parquet files), or glob results."""
+    import glob as _glob
+    import hashlib
+
+    if isinstance(paths, str):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(sorted(_glob.glob(os.path.join(p, "*.parquet"))))
+        else:
+            files.append(p)
+    h = hashlib.blake2b(digest_size=12)
+    for f in sorted(files):
+        st = os.stat(f)
+        h.update(os.path.basename(f).encode())
+        h.update(st.st_size.to_bytes(8, "little"))
+    return h.hexdigest()
+
+
 def partition_dir(out_dir: str, part_id: int) -> str:
     return os.path.join(out_dir, f"part={part_id:05d}")
 

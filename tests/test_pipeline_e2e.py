@@ -164,6 +164,16 @@ class TestCommitResume:
         assert set(summary2["part"]) == set(victims)
         assert lin.committed_partitions(out) == first
 
+    def test_fingerprint_inputs(self, pages_file, tmp_path):
+        a = lin.fingerprint_inputs(pages_file)
+        assert a == lin.fingerprint_inputs(pages_file)  # stable
+        other = str(tmp_path / "other.parquet")
+        import shutil
+
+        shutil.copy(pages_file, other)
+        assert lin.fingerprint_inputs(other) != a  # basename participates
+        assert len(a) == 24
+
     def test_partition_assignment_deterministic(self, pages_file, tmp_path):
         from post_ocr_corrector_ray.functions.hashing import partition_of
 
