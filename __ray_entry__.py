@@ -64,6 +64,49 @@ def _flagship(n_pages: int, batch_size: int = 8, concurrency=(2, 8)):
                               "corrected_text"])
 
 
+def _flagship_dictionary(n_pages: int):
+    """End-to-end dictionary-corrector story (reference §3.1+§3.3 in one
+    graph): pages → extract → keyed noise → vocabulary groupby over the clean
+    text → broadcast dictionary correction of the noisy text → per-url CER.
+
+    The extracted corpus is materialized once (it is consumed twice: vocab
+    build + correction); at test scale that is a few MB — at 100 TB the
+    intermediate would be a committed parquet stage instead.
+    """
+    import pyarrow as pa
+
+    import ray
+
+    from post_ocr_corrector_ray.pipelines.corpus import build_dictionary
+    from post_ocr_corrector_ray.pipelines.evaluate import add_cer_column
+    from post_ocr_corrector_ray.pipelines.extract_correct import extract_pipeline
+    from post_ocr_corrector_ray.stages.correct import DictionaryCorrectorStage
+    from post_ocr_corrector_ray.stages.noise import add_messy_column
+
+    good_chars = "".join(c for c in FLAGSHIP_ALPHABET if not c.isupper())
+    ds = extract_pipeline(_synthetic_pages(n_pages))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"url": batch.column("url"),
+                         "clean": batch.column("extracted_text")})
+
+    corpus = ds.map_batches(project, batch_format="pyarrow").materialize()
+    corr = build_dictionary(corpus, text_col="clean", split=None, min_frequency=2)
+    noisy = corpus.map_batches(add_messy_column, batch_format="pyarrow",
+                               fn_kwargs=dict(good_chars=good_chars))
+    corrected = noisy.map_batches(
+        DictionaryCorrectorStage,
+        fn_constructor_kwargs=dict(vocab_ref=ray.put(corr.vocabulary),
+                                   min_frequency=2, text_col="messy",
+                                   out_col="corrected_text"),
+        batch_format="pyarrow", batch_size=64, concurrency=(2, 8), num_cpus=1)
+    scored = corrected.map_batches(
+        add_cer_column, batch_format="pyarrow",
+        fn_kwargs=dict(out_col="corrected_text", correct_col="clean",
+                       banded=True, skip_empty_correct=True))
+    return scored
+
+
 def entry() -> Any:
     """Flagship pipeline smoke (sf0.001-scale synthetic pages)."""
     return _flagship(n_pages=60)
@@ -73,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship + reference-semantics pipelines (rows-only where non-SQL)
         "flagship_extract_correct": lambda sf: _flagship(n_pages=120),
+        "flagship_dictionary": lambda sf: _flagship_dictionary(n_pages=300),
         "doc_mutilate": D.doc_mutilate,
         "doc_null_corrector_cer": D.doc_null_corrector_cer,
         # reference text semantics with SQL twins
