@@ -164,6 +164,27 @@ class TestCommitResume:
         assert set(summary2["part"]) == set(victims)
         assert lin.committed_partitions(out) == first
 
+    def test_crashed_partition_redone_cleanly(self, pages_file, tmp_path):
+        """A partition with data but no _SUCCESS (crash between write and
+        commit) plus stray tmp files is redone and recommitted atomically."""
+        import ray.data
+
+        out = str(tmp_path / "crash_out")
+        extract_correct(ray.data.read_parquet(pages_file), corrector="null",
+                        out_dir=out, num_partitions=8).to_pandas()
+        victim = sorted(lin.committed_partitions(out))[0]
+        pdir = lin.partition_dir(out, victim)
+        os.remove(os.path.join(pdir, lin.SUCCESS_NAME))
+        with open(os.path.join(pdir, ".tmp-deadbeef.parquet"), "wb") as f:
+            f.write(b"garbage partial write")
+        summary = extract_correct(ray.data.read_parquet(pages_file), corrector="null",
+                                  out_dir=out, num_partitions=8).to_pandas()
+        assert set(summary["part"]) == {victim}
+        assert os.path.exists(os.path.join(pdir, lin.SUCCESS_NAME))
+        # output readable and complete despite the stray tmp file
+        table = lin.read_output(out)
+        assert table.num_rows == N_PAGES
+
     def test_fingerprint_inputs(self, pages_file, tmp_path):
         a = lin.fingerprint_inputs(pages_file)
         assert a == lin.fingerprint_inputs(pages_file)  # stable
