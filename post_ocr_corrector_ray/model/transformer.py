@@ -77,15 +77,26 @@ def _mha(q_in: np.ndarray, kv_in: np.ndarray, w: dict, n_head: int,
          kv_cache: tuple[np.ndarray, np.ndarray] | None = None) -> np.ndarray:
     """Multi-head attention, shapes (B, L, D); packed qkv like torch MHA.
 
-    ``kv_cache``: precomputed (k, v) projections of a FIXED kv input (the
-    encoder memory during greedy decode) — identical math, computed once per
-    decode instead of once per step."""
+    Self-attention (q_in is kv_in, no cache) projects q/k/v in ONE packed GEMM
+    against the stacked weight — one BLAS call instead of three, same dot
+    products.  ``kv_cache``: precomputed (k, v) projections of a FIXED kv
+    input (the encoder memory during greedy decode) — identical math, computed
+    once per decode instead of once per step."""
     d = q_in.shape[-1]
     dh = d // n_head
-    q = q_in @ w["wq"].T + w["bq"]
     if kv_cache is not None:
+        q = q_in @ w["wq"].T + w["bq"]
         k, v = kv_cache
+    elif q_in is kv_in:
+        packed = w.get("_packed")
+        if packed is None:
+            packed = (np.vstack([w["wq"], w["wk"], w["wv"]]),
+                      np.concatenate([w["bq"], w["bk"], w["bv"]]))
+            w["_packed"] = packed
+        qkv = q_in @ packed[0].T + packed[1]
+        q, k, v = qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :]
     else:
+        q = q_in @ w["wq"].T + w["bq"]
         k = kv_in @ w["wk"].T + w["bk"]
         v = kv_in @ w["wv"].T + w["bv"]
     B, Lq, _ = q.shape
@@ -177,9 +188,17 @@ class Transformer:
         self.cfg = weights.config
 
     def _attn_params(self, pre: str, a: int) -> dict:
-        w = self.w
-        return {nm: w[f"{pre}.attn{a}.{nm}"] for nm in
-                ("wq", "wk", "wv", "wo", "bq", "bk", "bv", "bo")}
+        # memoized so the packed-qkv weight cached inside persists across steps
+        cache = getattr(self, "_attn_cache", None)
+        if cache is None:
+            cache = self._attn_cache = {}
+        key = (pre, a)
+        got = cache.get(key)
+        if got is None:
+            w = self.w
+            got = cache[key] = {nm: w[f"{pre}.attn{a}.{nm}"] for nm in
+                                ("wq", "wk", "wv", "wo", "bq", "bk", "bv", "bo")}
+        return got
 
     def _ff_params(self, pre: str) -> dict:
         w = self.w
