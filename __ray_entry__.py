@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_assignment": D.doc_split_assignment,
         "doc_lev_reverse": D.doc_lev_reverse,
         "doc_markup_roundtrip": D.doc_markup_roundtrip,
+        "doc_length_extremes": lambda sf: D.doc_length_extremes(sf),
+        "doc_prefix_sample": lambda sf: D.doc_prefix_sample(sf),
         # training-data ops
         "doc_dedup_exact": D.doc_dedup_exact,
         "doc_token_stats": D.doc_token_stats,
@@ -202,6 +204,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ') AS sentence
             FROM documents""",
+        "doc_length_extremes": """
+            SELECT CAST(max(length(text)) AS BIGINT) AS longest,
+                   CAST(min(length(text)) AS BIGINT) AS shortest
+            FROM documents""",
+        "doc_prefix_sample": """
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents ORDER BY doc_id LIMIT 100""",
         "doc_dedup_exact": """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS content_md5
             FROM documents GROUP BY md5(text)""",

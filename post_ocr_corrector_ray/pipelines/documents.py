@@ -153,6 +153,33 @@ def doc_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
         jaccard_threshold=0.5, texts_ref=texts_ref)
 
 
+def doc_length_extremes(sf_dir: str) -> pa.Table:
+    """Global max/min text length (the reference's longest-sentence stat,
+    to_plain_text.py:41,45 — A6) as a per-batch partial → tiny final reduce."""
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(batch.column("text")).cast(pa.int64())
+        return pa.table({"mx": pa.array([pc.max(lens).as_py() or 0], pa.int64()),
+                         "mn": pa.array([pc.min(lens).as_py() or 0], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return pa.table({"longest": pa.array([max(p["mx"] for p in parts)], pa.int64()),
+                     "shortest": pa.array([min(p["mn"] for p in parts)], pa.int64())})
+
+
+def doc_prefix_sample(sf_dir: str, n: int = 100) -> ray.data.Dataset:
+    """Deterministic prefix sample by id (the reference's 100-row probe,
+    corrector_dataset.py:74-79 — O4) with per-row char counts."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).sort("doc_id").limit(n)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_chars": pc.utf8_length(batch.column("text")).cast(pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def doc_ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     """Word-3-gram Jaccard near-dup pairs (token-level dedup variant)."""
     import ray
