@@ -96,7 +96,7 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         if args.cmd == "run":
-            from .model.artifacts import load_dictionary, load_model_dir
+            from .model.artifacts import load_dictionary
             from .pipelines.extract_correct import extract_correct
 
             kwargs: dict = {}

@@ -8,7 +8,6 @@ oracles (where expressible) live in __ray_entry__.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 

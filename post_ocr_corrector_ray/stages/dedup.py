@@ -17,8 +17,6 @@ the distinct-char aggregate, SURVEY.md §2.7).  Scale posture:
 from __future__ import annotations
 
 import hashlib
-from itertools import combinations
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc

@@ -23,8 +23,6 @@ from typing import Callable
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
-
 import ray.data
 
 DEFAULT_PARTITIONS = 64

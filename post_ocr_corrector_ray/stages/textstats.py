@@ -14,7 +14,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import hash_u64_array, shingle_hashes, stable_hash_u64
+from ..functions.hashing import shingle_hashes, stable_hash_u64
 
 STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 _PUNCT = ".,!?;:"
