@@ -107,6 +107,22 @@ def _flagship_dictionary(n_pages: int):
     return scored
 
 
+def _media_metadata(n: int):
+    import pyarrow as pa
+
+    import ray.data
+
+    from post_ocr_corrector_ray.stages import multimodal as mm
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return mm.media_batch(batch.column("id").to_numpy(), seed=42)
+
+    media = ray.data.range(n, override_num_blocks=8).map_batches(
+        gen, batch_format="pyarrow")
+    return media.map_batches(mm.MediaMetadataStage, batch_format="pyarrow",
+                             batch_size=32, concurrency=2, num_cpus=1)
+
+
 def entry() -> Any:
     """Flagship pipeline smoke (sf0.001-scale synthetic pages)."""
     return _flagship(n_pages=60)
@@ -138,6 +154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_candidates": D.doc_simhash_candidates,
         "doc_minhash_pairs": D.doc_minhash_pairs,
         "doc_ngram_jaccard_pairs": D.doc_ngram_jaccard_pairs,
+        # multimodal binary columns (synthetic media; header parsing is real,
+        # pixel decode stubbed — stages/multimodal.py)
+        "media_metadata": lambda sf: _media_metadata(200),
         # embeddings / similarity search
         "emb_ann_topk": lambda sf: E.emb_ann_topk(sf),
         "emb_ann_topk_lsh": lambda sf: E.emb_ann_topk_lsh(sf),

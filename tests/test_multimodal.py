@@ -1,0 +1,86 @@
+"""Multimodal binary-column stages: real header parsing, stubbed decode."""
+
+import numpy as np
+import pytest
+
+from post_ocr_corrector_ray.stages import multimodal as mm
+
+
+class TestHeaderParsing:
+    def test_png_round_trip(self):
+        payload = mm.synth_png(7)
+        assert mm.sniff_kind(payload) == "png"
+        meta = mm.parse_png_header(payload)
+        assert 16 <= meta["width"] <= 2048 and 16 <= meta["height"] <= 2048
+        assert meta["bit_depth"] == 8
+
+    def test_wav_round_trip(self):
+        payload = mm.synth_wav(4)
+        assert mm.sniff_kind(payload) == "wav"
+        meta = mm.parse_wav_header(payload)
+        assert meta["sample_rate"] in (8000, 16000, 44100)
+        assert meta["channels"] in (1, 2)
+        assert meta["duration_s"] > 0
+
+    def test_jpeg_sof(self):
+        # minimal JPEG: SOI + SOF0 with 100x50
+        import struct
+
+        sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 50, 100, 3)
+        payload = b"\xff\xd8\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof
+        assert mm.sniff_kind(payload) == "jpeg"
+        meta = mm.parse_jpeg_header(payload)
+        assert (meta["width"], meta["height"]) == (100, 50)
+
+    def test_unknown_kind(self):
+        assert mm.sniff_kind(b"\x00garbage") == "unknown"
+        assert mm.sniff_kind(b"") == "unknown"
+
+
+class TestDecodeStub:
+    def test_raises_without_fake(self):
+        with pytest.raises(NotImplementedError):
+            mm.decode_pixels(b"anything")
+
+    def test_fake_deterministic_content_keyed(self):
+        a = mm.decode_pixels(b"payload-1", fake=True)
+        b = mm.decode_pixels(b"payload-1", fake=True)
+        c = mm.decode_pixels(b"payload-2", fake=True)
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c)
+        assert a.shape == (mm.FEATURE_DIM,) and a.dtype == np.float32
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStagesOnRay:
+    def test_metadata_pipeline(self):
+        import ray.data
+
+        tbl = mm.media_batch(np.arange(30))
+        out = ray.data.from_arrow(tbl).map_batches(
+            mm.MediaMetadataStage, batch_format="pyarrow", batch_size=8,
+            concurrency=2, num_cpus=1).to_pandas()
+        assert len(out) == 30
+        kinds = out.set_index("media_id")["kind"]
+        assert kinds[0] == "png" and kinds[1] == "wav" and kinds[2] == "unknown"
+        assert out.loc[out["kind"] == "png", "width"].notna().all()
+        assert (out.loc[out["kind"] == "wav", "duration_s"] > 0).all()
+        assert "payload" not in out.columns  # wide column projected away
+
+    def test_feature_pipeline_schema(self):
+        import ray.data
+
+        tbl = mm.media_batch(np.arange(12))
+        ds = ray.data.from_arrow(tbl).map_batches(
+            mm.MediaFeatureStage, batch_format="pyarrow", batch_size=4,
+            concurrency=2, num_cpus=1)
+        out = ds.to_pandas()
+        assert len(out) == 12
+        assert all(len(f) == mm.FEATURE_DIM for f in out["feature"])
+        # determinism across a rerun
+        out2 = ray.data.from_arrow(tbl).map_batches(
+            mm.MediaFeatureStage, batch_format="pyarrow", batch_size=7,
+            concurrency=2, num_cpus=1).to_pandas()
+        m1 = {i: list(f) for i, f in zip(out["media_id"], out["feature"])}
+        m2 = {i: list(f) for i, f in zip(out2["media_id"], out2["feature"])}
+        assert m1 == m2
