@@ -18,6 +18,8 @@ from typing import Any
 for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
     os.environ.setdefault(_v, "1")
 
+import numpy as np
+
 from post_ocr_corrector_ray.functions.alphabet import build_alphabet
 from post_ocr_corrector_ray.pipelines import documents as D
 from post_ocr_corrector_ray.pipelines import embeddings as E
@@ -150,10 +152,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": D.doc_quality,
         "doc_langid": D.doc_langid,
         "doc_fingerprint": D.doc_fingerprint,
+        "doc_fingerprint_rolling": D.doc_fingerprint_rolling,
         "doc_simhash": D.doc_simhash,
         "doc_simhash_candidates": D.doc_simhash_candidates,
         "doc_minhash_pairs": D.doc_minhash_pairs,
         "doc_ngram_jaccard_pairs": D.doc_ngram_jaccard_pairs,
+        "doc_minhash_bucket_stats": lambda sf: D.doc_minhash_bucket_stats(sf),
         # multimodal binary columns (synthetic media; header parsing is real,
         # pixel decode stubbed — stages/multimodal.py)
         "media_metadata": lambda sf: _media_metadata(200),
@@ -163,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_topk_ivf": lambda sf: E.emb_ann_topk_ivf(sf),
         "emb_nn_join": E.emb_nn_join,
         "emb_cosine_dups": lambda sf: E.emb_cosine_dups(sf),
+        "emb_cosine_dups_bucketed": lambda sf: E.emb_cosine_dups_bucketed(sf),
         # relational capability (groupby/join/sort/window)
         "pricing_summary": R.pricing_summary,
         "top_customers": lambda sf: R.top_customers(sf),
@@ -173,6 +178,89 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": lambda sf: R.events_sessions(sf),
         "events_user_rolling": lambda sf: R.events_user_rolling(sf),
     }
+
+
+def _dlist(row) -> str:
+    """Float64 list literal with shortest-round-trip reprs (parse back to the
+    identical IEEE double in DuckDB)."""
+    return "[" + ",".join(repr(float(x)) for x in row) + "]"
+
+
+def _lsh_oracle_sql(bits: int = 4, dim: int = 64, k: int = 10) -> str:
+    """SQL twin of ``ann_topk_lsh``: exact top-k WITHIN the query's LSH bucket.
+
+    The probed subset is itself SQL-expressible because the hyperplanes are
+    deterministic seeded constants — inlined below — so the driver
+    hash-verifies the bucketing + scoring machinery end-to-end.  (True recall
+    vs the unrestricted top-k is a pytest concern: tests/test_training_data_ops.py.)
+    """
+    from post_ocr_corrector_ray.stages.embed import make_planes
+
+    planes = make_planes(dim, bits=bits, seed=42)
+
+    def bucket(expr: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({expr}, {_dlist(planes[b])}) > 0 "
+            f"THEN {1 << b} ELSE 0 END)" for b in range(bits))
+
+    return f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id = 0),
+        b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT vec_id, round(list_cosine_similarity(v, (SELECT v FROM q)), 6) AS sim
+        FROM b
+        WHERE {bucket('v')} = (SELECT {bucket('v')} FROM q)
+        ORDER BY sim DESC, vec_id LIMIT {k}"""
+
+
+_ORACLE_SF_DIR = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _ivf_oracle_sql(n_clusters: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """SQL twin of ``ann_topk_ivf``: exact top-k within the probed clusters.
+
+    The centroids/probe-list constants are re-derived here OUTSIDE Ray (pure
+    pyarrow + the same deterministic id-hash sample + seeded Lloyd kmeans the
+    engine uses), then inlined — the driver's correctness fixture is sf0.01,
+    which is the table these constants correspond to.
+    """
+    import pyarrow.parquet as pq
+
+    from post_ocr_corrector_ray.functions.hashing import hash_u64_array
+    from post_ocr_corrector_ray.stages.embed import kmeans_fit
+
+    t = pq.read_table(f"{_ORACLE_SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    frac = min(1.0, 4096 / max(len(ids), 1))
+    keep = (np.ones(len(ids), dtype=bool) if frac >= 1.0
+            else hash_u64_array(ids.astype(np.uint64), seed=7)
+            < np.uint64(int(frac * float(2 ** 64))))
+    order = np.argsort(ids[keep])
+    sample = np.array(t.column("embedding").take(
+        np.nonzero(keep)[0]).to_pylist(), dtype=np.float64)[order]
+    centroids = kmeans_fit(sample, n_clusters, seed=42)
+    q = np.asarray(t.column("embedding")[ids.tolist().index(0)].as_py(),
+                   dtype=np.float64)
+    qd2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = ", ".join(str(c) for c in np.argsort(qd2)[:n_probe].tolist())
+    cent_values = ", ".join(f"({c}, {_dlist(centroids[c])})"
+                            for c in range(n_clusters))
+    return f"""
+        WITH cents(cid, c) AS (VALUES {cent_values}),
+        b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        assign AS (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY list_distance(v, c), cid) AS rn
+          FROM b CROSS JOIN cents),
+        probed AS (SELECT vec_id FROM assign WHERE rn = 1 AND cid IN ({probe}))
+        SELECT b.vec_id,
+               round(list_cosine_similarity(b.v,
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                      WHERE vec_id = 0)), 6) AS sim
+        FROM b JOIN probed USING (vec_id)
+        ORDER BY sim DESC, vec_id LIMIT {k}"""
 
 
 _STOP_LIST = "('the','a','of','and','to','in','is','on','for','with')"
@@ -234,6 +322,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS content_md5
             FROM documents GROUP BY md5(text)""",
         "doc_token_stats": _TOKEN_STATS_SQL,
+        # Exact-Jaccard oracles for the LSH near-dup pipelines.  The engine
+        # output is "LSH candidates, verified by exact Jaccard >= t"; on this
+        # corpus similarity is bimodal (planted near-dups >= 0.9, background
+        # <= 0.31), so b=16/r=4 banding recall at the threshold is
+        # 1 - (1 - 0.9^4)^16 ~ 1 - 4e-8 and the verified set equals the exact
+        # thresholded set; the float division (int/int in double) is
+        # bit-identical between NumPy and DuckDB.
+        "doc_minhash_pairs": r"""
+            WITH sh AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(g AS INTEGER), 5) AS gram
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, greatest(length(text)-4, 1))) AS g
+                    FROM documents)
+            ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+              FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) >= 0.5""",
+        "doc_ngram_jaccard_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+                          ELSE array_to_string(t[CAST(g AS BIGINT):CAST(g AS BIGINT)+2], ' ')
+                     END AS gram
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, greatest(len(t)-2, 1))) AS g
+                    FROM toks)
+            ), sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) >= 0.3""",
+        "doc_fingerprint": r"""
+            WITH grams AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(g AS INTEGER), 8) AS gram
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, greatest(length(text)-7, 1))) AS g
+                    FROM documents))
+            SELECT d.doc_id, md5(d.text) AS content_md5, m.fp_min
+            FROM documents d
+            JOIN (SELECT doc_id, min(md5(gram)) AS fp_min
+                  FROM grams GROUP BY doc_id) m USING (doc_id)""",
         "doc_quality": f"""
             WITH s AS ({_TOKEN_STATS_SQL})
             SELECT doc_id, n_chars, n_words, n_punct, mean_word_len, stop_ratio,
@@ -249,6 +391,8 @@ def oracle_sql() -> dict[str, str]:
                          (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
                           WHERE vec_id = 0)), 6) AS sim
             FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""",
+        "emb_ann_topk_lsh": _lsh_oracle_sql(),
+        "emb_ann_topk_ivf": _ivf_oracle_sql(),
         "emb_nn_join": """
             SELECT vec_id, nn_id, nn_sim FROM (
               SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,

@@ -118,8 +118,15 @@ def doc_langid(sf_dir: str) -> ray.data.Dataset:
 
 
 def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """MD5 content + min-k-gram-md5 fingerprint (exact SQL twin)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         ts.fingerprint_batch, batch_format="pyarrow")
+
+
+def doc_fingerprint_rolling(sf_dir: str) -> ray.data.Dataset:
+    """uint64 rolling-hash fingerprint (vectorized scale variant, no SQL twin)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ts.fingerprint_rolling_batch, batch_format="pyarrow")
 
 
 def doc_simhash(sf_dir: str) -> ray.data.Dataset:
@@ -139,17 +146,16 @@ def doc_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
     (p99 = 0.26) for k=5 char shingles.  The b=16/r=4 banding has its S-curve
     threshold at (1/16)^(1/4) ≈ 0.5 — background pairs become candidates at
     ~1.3% while genuinely overlapping documents pass; a b=32/r=2 profile
-    admits ~60% of ALL pairs and melts at scale."""
-    import ray
+    admits ~60% of ALL pairs and melts at scale.
 
-    tbl = pa.concat_tables(
-        [b for b in _docs(sf_dir, ["doc_id", "text"])
-         .iter_batches(batch_size=65536, batch_format="pyarrow")])
-    texts = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
-    texts_ref = ray.put(texts)
+    Verification is fully distributed (signature join, stages/dedup.py) — no
+    driver-side corpus dict.  With verify-exact semantics and the corpus's
+    bimodal similarity (near-dups ≥ 0.9, background ≤ 0.31), LSH recall at
+    the 0.5 threshold is 1 − (1 − 0.9⁴)¹⁶ ≈ 1 − 4e-8, so the result equals
+    the exact-Jaccard SQL oracle (pinned in CORRECTNESS)."""
     return dd.minhash_duplicate_pairs(
-        ray.data.from_arrow(tbl), n_hashes=64, bands=16, k_shingle=5,
-        jaccard_threshold=0.5, texts_ref=texts_ref)
+        _docs(sf_dir, ["doc_id", "text"]), n_hashes=64, bands=16, k_shingle=5,
+        jaccard_threshold=0.5)
 
 
 def doc_length_extremes(sf_dir: str) -> pa.Table:
@@ -180,15 +186,20 @@ def doc_prefix_sample(sf_dir: str, n: int = 100) -> ray.data.Dataset:
 
 
 def doc_ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
-    """Word-3-gram Jaccard near-dup pairs (token-level dedup variant)."""
-    import ray
+    """Word-3-gram Jaccard near-dup pairs (token-level dedup variant);
+    distributed signature-join verification, exact-Jaccard SQL oracle."""
+    return dd.ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), n_gram=3,
+                                  jaccard_threshold=0.3)
 
-    tbl = pa.concat_tables(
-        [b for b in _docs(sf_dir, ["doc_id", "text"])
-         .iter_batches(batch_size=65536, batch_format="pyarrow")])
-    texts = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
-    return dd.ngram_jaccard_pairs(ray.data.from_arrow(tbl), n_gram=3,
-                                  jaccard_threshold=0.3, texts_ref=ray.put(texts))
+
+def doc_minhash_bucket_stats(sf_dir: str) -> pa.Table:
+    """LSH bucket census for the minhash banding — makes the MAX_BUCKET
+    oversized-bucket drop in candidate generation observable (no silent
+    caps): bucket counts, dropped buckets, dropped candidate pairs."""
+    bands_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        dd.minhash_bands_batch, batch_format="pyarrow",
+        fn_kwargs=dict(n_hashes=64, bands=16, k_shingle=5))
+    return dd.bucket_stats(bands_ds, ["band_id", "band_hash"])
 
 
 def doc_mutilate(sf_dir: str, good_chars: str = "abcdefghijklmnopqrstuvwxyz ") -> ray.data.Dataset:

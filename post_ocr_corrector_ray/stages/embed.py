@@ -95,12 +95,51 @@ def nearest_neighbor_join(ds: ray.data.Dataset, all_vectors_ref, *,
     return ds.map_batches(nn_batch, batch_format="pyarrow")
 
 
+def deterministic_sample(ds: ray.data.Dataset, *, frac: float,
+                         id_col: str = "vec_id", seed: int = 7) -> ray.data.Dataset:
+    """Unbiased deterministic sample: keep rows whose seeded id-hash falls
+    below ``frac`` of the hash range.
+
+    Chosen over ``ds.random_sample`` deliberately: the result is independent
+    of block layout / execution order (``random_sample`` draws per block), so
+    quantizer training is reproducible across cluster sizes AND replicable
+    outside Ray (the DuckDB oracle re-derives identical centroids).  Unbiased
+    under sorted/clustered input because the hash, not the position, decides.
+    """
+    from ..functions.hashing import hash_u64_array
+
+    if frac >= 1.0:
+        return ds
+    thresh = np.uint64(int(frac * float(2**64)))
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = hash_u64_array(ids, seed=seed) < thresh
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def train_quantizer_sample(ds: ray.data.Dataset, *, target: int = 4096,
+                           vec_col: str = "embedding", id_col: str = "vec_id",
+                           seed: int = 7) -> np.ndarray:
+    """Collect a small deterministic training sample for the IVF quantizer
+    (sorted by id so the matrix is independent of execution order)."""
+    n = ds.count()
+    frac = min(1.0, target / max(n, 1))
+    rows = deterministic_sample(ds.select_columns([id_col, vec_col]),
+                                frac=frac, id_col=id_col, seed=seed).take_all()
+    rows.sort(key=lambda r: r[id_col])
+    return np.array([r[vec_col] for r in rows], dtype=np.float64)
+
+
 def kmeans_fit(sample: np.ndarray, n_clusters: int, n_iter: int = 10,
                seed: int = 42) -> np.ndarray:
     """Deterministic Lloyd k-means (NumPy) for the IVF coarse quantizer.
 
-    At 100 TB the sample comes from ``ds.random_sample(frac, seed)`` — the
-    quantizer trains on a driver-side sample, assignment runs distributed."""
+    At 100 TB the sample comes from ``deterministic_sample`` (id-hash
+    filtered) — the quantizer trains on a driver-side sample, assignment runs
+    distributed."""
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
     centroids = sample[np.sort(idx)].copy()
@@ -128,10 +167,15 @@ def ann_topk_ivf(ds: ray.data.Dataset, query: np.ndarray, *, k: int = 10,
                  vec_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
     """IVF approximate top-k: score only vectors whose coarse cluster is among
     the query's ``n_probe`` nearest centroids (the classic inverted-file ANN
-    scale path; brute force within probed lists)."""
+    scale path; brute force within probed lists).
+
+    The query's CONTRACT (and its SQL oracle) is "exact top-k within the
+    probed subset": the oracle re-derives the same centroids (deterministic
+    id-hash sample + seeded Lloyd) and the same probe list, so the result
+    hash-matches; true recall vs the unrestricted top-k is measured in pytest
+    and governed by ``n_probe`` (raise it for recall, lower it for speed)."""
     if train_sample is None:
-        sample_rows = ds.limit(4096).to_pandas()
-        train_sample = np.array(sample_rows[vec_col].tolist(), dtype=np.float64)
+        train_sample = train_quantizer_sample(ds, vec_col=vec_col, id_col=id_col)
     centroids = kmeans_fit(train_sample, n_clusters, seed=seed)
     qd2 = ((centroids - query[None, :]) ** 2).sum(axis=1)
     probe = set(np.argsort(qd2)[:n_probe].tolist())
@@ -154,6 +198,188 @@ def ann_topk_ivf(ds: ray.data.Dataset, query: np.ndarray, *, k: int = 10,
     rows = sorted(parts, key=lambda r: (-r["sim"], r[id_col]))[:k]
     return pa.Table.from_pylist(rows) if rows else pa.table(
         {id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+
+
+# --- distributed exact all-pairs (block cross-product) ------------------------
+
+
+def _block_refs(ds: ray.data.Dataset, *, id_col: str, vec_col: str,
+                num_blocks: int):
+    """Partition (id, vec) into object-store-resident Arrow blocks and return
+    their refs.  The driver holds only ObjectRefs — blocks live (and spill)
+    in the object store; each cross-product task fetches exactly the two
+    blocks it scores (zero-copy Arrow reads)."""
+    mat = ds.select_columns([id_col, vec_col]).repartition(num_blocks).materialize()
+    return mat.to_arrow_refs()
+
+
+def _ids_matrix(tbl: pa.Table, id_col: str, vec_col: str):
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    m = _to_matrix(tbl.column(vec_col))
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    return ids, m, norms
+
+
+def cosine_pairs_blockwise(ds: ray.data.Dataset, *, threshold: float,
+                           vec_col: str = "embedding", id_col: str = "vec_id",
+                           num_blocks: int = 8) -> ray.data.Dataset:
+    """EXACT cosine near-dup pairs without any driver-side materialization:
+    B object-store blocks → B(B+1)/2 block-pair tasks, each a vectorized
+    matmul emitting only qualifying (id_a < id_b) pairs.
+
+    The exact all-pairs score is inherently O(n²) (so is its SQL oracle); this
+    distributes it across the cluster with per-task memory = 2 blocks.  For
+    approximate sub-quadratic candidates see ``ivf_candidate_pairs``."""
+    import ray
+
+    refs = _block_refs(ds, id_col=id_col, vec_col=vec_col, num_blocks=num_blocks)
+    items = [{"bi": i, "bj": j}
+             for i in range(len(refs)) for j in range(i, len(refs))]
+    pair_ds = ray.data.from_items(items, override_num_blocks=len(items))
+
+    def work(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_s = [], [], []
+        for bi, bj in zip(batch.column("bi").to_pylist(),
+                          batch.column("bj").to_pylist()):
+            ta = ray.get(refs[bi])
+            tb = ta if bj == bi else ray.get(refs[bj])
+            ids_a, ma, na = _ids_matrix(ta, id_col, vec_col)
+            ids_b, mb, nb = (ids_a, ma, na) if bj == bi else _ids_matrix(tb, id_col, vec_col)
+            sims = np.round((ma @ mb.T) / (na[:, None] * nb[None, :]), SIM_DECIMALS)
+            keep = (sims >= threshold) & (ids_a[:, None] < ids_b[None, :])
+            ai, bjx = np.nonzero(keep)
+            out_a.append(ids_a[ai]); out_b.append(ids_b[bjx]); out_s.append(sims[ai, bjx])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                         "sim": pa.array(np.concatenate(out_s), pa.float64())})
+
+    return pair_ds.map_batches(work, batch_format="pyarrow")
+
+
+def nn_join_blockwise(ds: ray.data.Dataset, *, vec_col: str = "embedding",
+                      id_col: str = "vec_id", num_blocks: int = 8) -> ray.data.Dataset:
+    """EXACT nearest-neighbor join, distributed: block-pair tasks emit per-row
+    partial bests (max rounded sim, ties → smallest neighbor id), then a
+    coarse-partitioned reduce keeps the global best per id.  Shuffle volume is
+    O(n · B) tiny partial rows, never vectors."""
+    import pandas as pd
+
+    import ray
+
+    from .shuffle import grouped_apply
+
+    refs = _block_refs(ds, id_col=id_col, vec_col=vec_col, num_blocks=num_blocks)
+    items = [{"bi": i, "bj": j}
+             for i in range(len(refs)) for j in range(i, len(refs))]
+    pair_ds = ray.data.from_items(items, override_num_blocks=len(items))
+
+    def _partial_best(ids_a, ma, na, ids_b, mb, nb, same: bool):
+        sims = np.round((ma @ mb.T) / (na[:, None] * nb[None, :]), SIM_DECIMALS)
+        if same:
+            sims[ids_a[:, None] == ids_b[None, :]] = -np.inf
+        order = np.argsort(ids_b)                      # ties → smallest id
+        s = sims[:, order]
+        pos = np.argmax(s, axis=1)
+        return ids_a, ids_b[order][pos], s[np.arange(len(ids_a)), pos]
+
+    def work(batch: pa.Table) -> pa.Table:
+        vid, nid, nsim = [], [], []
+        for bi, bj in zip(batch.column("bi").to_pylist(),
+                          batch.column("bj").to_pylist()):
+            ta = ray.get(refs[bi])
+            tb = ta if bj == bi else ray.get(refs[bj])
+            ids_a, ma, na = _ids_matrix(ta, id_col, vec_col)
+            if bj == bi:
+                if len(ids_a) < 2:
+                    continue
+                a, b, s = _partial_best(ids_a, ma, na, ids_a, ma, na, True)
+                vid.append(a); nid.append(b); nsim.append(s)
+            else:
+                ids_b, mb, nb = _ids_matrix(tb, id_col, vec_col)
+                a, b, s = _partial_best(ids_a, ma, na, ids_b, mb, nb, False)
+                vid.append(a); nid.append(b); nsim.append(s)
+                a, b, s = _partial_best(ids_b, mb, nb, ids_a, ma, na, False)
+                vid.append(a); nid.append(b); nsim.append(s)
+        if not vid:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "nn_id": pa.array([], pa.int64()),
+                             "nn_sim": pa.array([], pa.float64())})
+        return pa.table({id_col: pa.array(np.concatenate(vid), pa.int64()),
+                         "nn_id": pa.array(np.concatenate(nid), pa.int64()),
+                         "nn_sim": pa.array(np.concatenate(nsim), pa.float64())})
+
+    partials = pair_ds.map_batches(work, batch_format="pyarrow")
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "nn_id": pd.Series([], dtype="int64"),
+                                 "nn_sim": pd.Series([], dtype="float64")})
+        out = df.sort_values([id_col, "nn_sim", "nn_id"],
+                             ascending=[True, False, True]) \
+            .drop_duplicates(subset=[id_col])
+        return out[[id_col, "nn_id", "nn_sim"]]
+
+    return grouped_apply(partials, [id_col], best)
+
+
+def ivf_candidate_pairs(ds: ray.data.Dataset, *, threshold: float,
+                        n_clusters: int = 16, n_assign: int = 2,
+                        seed: int = 42, vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        train_sample: np.ndarray | None = None) -> ray.data.Dataset:
+    """APPROXIMATE sub-quadratic near-dup pairs: multi-assign each vector to
+    its ``n_assign`` nearest IVF clusters, generate pairs inside each cluster
+    bucket, verify with exact cosine via the distributed payload join.
+
+    The scale path when O(n²) is unaffordable: cost ≈ Σ cluster_size² with
+    n_clusters sized so clusters hold ~10³ vectors.  Recall vs the exact pair
+    set is governed by ``n_assign`` (pairs split across cluster boundaries are
+    missed; measured in tests/test_training_data_ops.py on the driver
+    fixture).  Pair-count drops from oversized buckets are observable via
+    ``bucket_stats`` on the assignment rows."""
+    from .dedup import verify_pairs_payload
+
+    if train_sample is None:
+        train_sample = train_quantizer_sample(ds, vec_col=vec_col, id_col=id_col)
+    centroids = kmeans_fit(train_sample, n_clusters, seed=seed)
+
+    def assign_multi(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(batch.column(vec_col))
+        d2 = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        near = np.argsort(d2, axis=1)[:, :n_assign]          # (B, n_assign)
+        return pa.table({
+            "cluster": pa.array(near.ravel().astype(np.int64)),
+            id_col: pa.array(np.repeat(ids, n_assign), pa.int64())})
+
+    from .dedup import _bucket_pairs_partitioned
+
+    cand = _bucket_pairs_partitioned(
+        ds.map_batches(assign_multi, batch_format="pyarrow"),
+        ["cluster"], id_col, max_bucket=1 << 14)
+
+    def payload(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column(vec_col))
+        sigs = [np.ascontiguousarray(row.astype("<f8")).tobytes() for row in m]
+        return pa.table({id_col: batch.column(id_col),
+                         "sig": pa.array(sigs, pa.binary())})
+
+    def cosine_score(a: bytes, b: bytes) -> float:
+        va = np.frombuffer(a, dtype="<f8")
+        vb = np.frombuffer(b, dtype="<f8")
+        na = np.linalg.norm(va) or 1.0
+        nb = np.linalg.norm(vb) or 1.0
+        return float(np.round(np.dot(va, vb) / (na * nb), SIM_DECIMALS))
+
+    return verify_pairs_payload(cand, ds.map_batches(payload, batch_format="pyarrow"),
+                                id_col=id_col, score_fn=cosine_score,
+                                threshold=threshold, out_col="sim")
 
 
 def lsh_bucket_batch(batch: pa.Table, *, planes: np.ndarray,

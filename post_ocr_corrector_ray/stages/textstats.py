@@ -139,8 +139,45 @@ def langid_batch(batch: pa.Table, *, text_col: str = "text",
 
 def fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 8) -> pa.Table:
+    """MD5 document fingerprint: full-content md5 + the minimum md5 over the
+    document's distinct k-char grams (winnowing-style min-hash fingerprint).
+
+    md5 is chosen so the result has an exact ANSI-SQL twin
+    (``min(md5(substr(text, g, k)))`` — see __ray_entry__ ``doc_fingerprint``);
+    a per-batch gram→digest cache keeps the cost ~one md5 per *distinct* gram.
+    """
+    import hashlib
+
+    texts = batch.column(text_col).to_pylist()
+    cache: dict[str, str] = {}
+    content: list[str] = []
+    mins: list[str] = []
+    for t in texts:
+        t = t or ""
+        content.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+        grams = ({t[i : i + k] for i in range(len(t) - k + 1)}
+                 if len(t) >= k else {t})
+        mn = None
+        for g in grams:
+            h = cache.get(g)
+            if h is None:
+                h = cache[g] = hashlib.md5(g.encode("utf-8")).hexdigest()
+            if mn is None or h < mn:
+                mn = h
+        mins.append(mn)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "content_md5": pa.array(content, pa.string()),
+        "fp_min": pa.array(mins, pa.string()),
+    })
+
+
+def fingerprint_rolling_batch(batch: pa.Table, *, text_col: str = "text",
+                              id_col: str = "doc_id", k: int = 8) -> pa.Table:
     """Rolling-hash document fingerprint: min over k-gram rolling hashes
-    (winnowing-style, deterministic) + a full-content stable hash."""
+    (winnowing-style, deterministic) + a full-content stable hash.  The
+    vectorized non-SQL sibling of ``fingerprint_batch`` (uint64 polynomial
+    hashes — no SQL twin; pytest-pinned determinism)."""
     texts = batch.column(text_col).to_pylist()
     mins: list[int] = []
     fulls: list[int] = []
