@@ -48,6 +48,19 @@ def run_benchmarks() -> dict:
 
     ray.data.DataContext.get_current().enable_progress_bars = False
 
+    # Root-caused log noise: Ray's sort emits empty boundary blocks whenever
+    # range-partition boundaries repeat (heavily duplicated sort keys — every
+    # coarse-partitioned groupby here), and the executor logs a benign
+    # "RefBundle with a different schema (names=[])" warning for each.  Our
+    # empty frames are all explicitly typed; the schema-less blocks come from
+    # Ray's sort internals, so the known-benign warning is filtered from
+    # bench output rather than papered over in UDFs.
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
+
     import __ray_entry__ as entry
 
     # warm the OS page cache so reads measure compute, not first-touch disk IO
@@ -73,7 +86,8 @@ def run_benchmarks() -> dict:
         "doc_normalize_ws", "doc_dedup_exact", "doc_token_stats",
         "doc_lev_reverse", "doc_simhash", "doc_minhash_pairs",
         "doc_ngram_jaccard_pairs", "emb_ann_topk", "emb_nn_join",
-        "emb_cosine_dups", "events_user_rolling", "doc_null_corrector_cer",
+        "emb_cosine_dups", "emb_cosine_dups_bucketed", "doc_langid",
+        "doc_fingerprint", "events_user_rolling", "doc_null_corrector_cer",
     ]
     qs = entry.queries()
     for name in bench_queries:

@@ -113,7 +113,21 @@ def correct_stage(ds: ray.data.Dataset, *, corrector: CorrectorKind,
                   seed: int = 42, hparams: dict | None = None,
                   vocab_ref=None, min_frequency: int = 2,
                   concurrency: int | tuple[int, int] = 4,
-                  batch_size: int = 32) -> ray.data.Dataset:
+                  batch_size: int = 32, num_cpus: float = 1,
+                  num_gpus: float | None = None,
+                  resources: dict | None = None) -> ray.data.Dataset:
+    """Corrector actor-pool stage.
+
+    ``num_gpus`` / ``resources`` pass straight to ``map_batches`` so the
+    neural corrector deploys as the north-star "GPU-sized micro-batches"
+    shape (reference eval.py:25-33 runs the model on whatever device torch
+    finds; here the resource request is explicit per stage).  ``batch_size``
+    is the micro-batch: size it to the device memory, not the block."""
+    pool_kwargs: dict = dict(num_cpus=num_cpus)
+    if num_gpus is not None:
+        pool_kwargs["num_gpus"] = num_gpus
+    if resources is not None:
+        pool_kwargs["resources"] = resources
     if corrector == "null":
         # stateless identity — plain task stage, no actor pool needed
         return ds.map_batches(NullCorrectorStage(), batch_format="pyarrow")
@@ -124,14 +138,14 @@ def correct_stage(ds: ray.data.Dataset, *, corrector: CorrectorKind,
             fn_constructor_kwargs=dict(alphabet=alphabet, model_path=model_path,
                                        seed=seed, hparams=hparams),
             batch_format="pyarrow", batch_size=batch_size,
-            concurrency=concurrency, num_cpus=1,
+            concurrency=concurrency, **pool_kwargs,
         )
     if corrector == "dictionary":
         return ds.map_batches(
             DictionaryCorrectorStage,
             fn_constructor_kwargs=dict(vocab_ref=vocab_ref, min_frequency=min_frequency),
             batch_format="pyarrow", batch_size=max(batch_size, 128),
-            concurrency=concurrency, num_cpus=1,
+            concurrency=concurrency, **pool_kwargs,
         )
     raise ValueError(f"unknown corrector: {corrector}")
 

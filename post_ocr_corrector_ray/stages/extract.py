@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..functions.extraction import extract_page
-from ..functions.hashing import partition_of
+from ..functions.hashing import partition_of_array
 from ..functions.text import normalize_whitespace
 
 EXTRACTED_SCHEMA = pa.schema(
@@ -78,9 +78,10 @@ def extract_batch(batch: pa.Table) -> pa.Table:
 
 def add_partition_column(batch: pa.Table, *, num_partitions: int,
                          key: str = "url", col: str = "part") -> pa.Table:
-    """Deterministic url-hash partition id — the lineage/resume unit."""
-    parts = [partition_of(u, num_partitions) for u in batch.column(key).to_pylist()]
-    return batch.append_column(col, pa.array(parts, pa.int32()))
+    """Deterministic url-hash partition id — the lineage/resume unit.
+    Vectorized polynomial hash (no per-row Python on the flagship hot path)."""
+    parts = partition_of_array(batch.column(key), num_partitions)
+    return batch.append_column(col, pa.array(parts.astype("int32"), pa.int32()))
 
 
 def make_committed_filter(committed: frozenset[int], num_partitions: int, key: str = "url"):
@@ -94,8 +95,10 @@ def make_committed_filter(committed: frozenset[int], num_partitions: int, key: s
     def _filter(batch: pa.Table) -> pa.Table:
         if not committed:
             return batch
-        keep = [partition_of(u, num_partitions) not in committed
-                for u in batch.column(key).to_pylist()]
+        import numpy as np
+
+        parts = partition_of_array(batch.column(key), num_partitions)
+        keep = ~np.isin(parts, np.fromiter(committed, dtype=np.int64))
         return batch.filter(pa.array(keep, pa.bool_()))
 
     return _filter

@@ -114,3 +114,30 @@ class TestPdf:
         pdf = b"%PDF-1.4\nstream\n\x00\x01\x02\nendstream\n%%EOF"
         res = extract_page(pdf)
         assert res.status == "pdf_undecodable" and res.text == ""
+
+
+class TestPartitionHash:
+    def test_vectorized_polyhash_equals_scalar(self):
+        import pyarrow as pa
+
+        from post_ocr_corrector_ray.functions.hashing import (
+            partition_of, partition_of_array, polyhash_u64, polyhash_u64_array)
+
+        strs = ["", "a", "ab", "https://example.com/x?q=1", "ünïcødé-",
+                "x" * 500, "\x00\x01", "https://synth.example/d7/page-7",
+                "тест-кирилица", "日本語のページ"]
+        arr = pa.array(strs, pa.string())
+        vec = polyhash_u64_array(arr)
+        for i, s in enumerate(strs):
+            assert int(vec[i]) == polyhash_u64(s.encode("utf-8")), s
+        parts = partition_of_array(arr, 16)
+        assert [int(p) for p in parts] == [partition_of(s, 16) for s in strs]
+
+    def test_sliced_array_hashes_identically(self):
+        import pyarrow as pa
+
+        from post_ocr_corrector_ray.functions.hashing import polyhash_u64_array
+
+        arr = pa.array(["aa", "bb", "cc", "dd"], pa.string())
+        assert polyhash_u64_array(arr.slice(1, 2)).tolist() == \
+            polyhash_u64_array(pa.array(["bb", "cc"])).tolist()

@@ -125,6 +125,21 @@ class TestByteIdentity:
         )
         assert _as_url_map(ds) == want
 
+    def test_corrector_stage_resource_passthrough(self, pages_table, alphabet,
+                                                  tiny_hparams):
+        """SURVEY §2.3 T1: num_gpus/resources plumb through to map_batches
+        (smoke with num_gpus=0 — same output, no GPU requested)."""
+        import ray.data
+
+        small = pages_table.slice(0, 12)
+        base = extract_correct(ray.data.from_arrow(small), corrector="neural",
+                               alphabet=alphabet, seed=7, hparams=tiny_hparams,
+                               concurrency=2)
+        gpu0 = extract_correct(ray.data.from_arrow(small), corrector="neural",
+                               alphabet=alphabet, seed=7, hparams=tiny_hparams,
+                               concurrency=2, num_gpus=0, num_cpus=1)
+        assert _as_url_map(gpu0) == _as_url_map(base)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestCommitResume:

@@ -50,6 +50,21 @@ class TestTextStats:
         preds = out.column("lang_pred").to_pylist()
         assert preds[0] == "en" and preds[1] == "de" and preds[2] == "sr" and preds[3] == "und"
 
+    def test_langid_vectorized_equals_scalar(self):
+        texts = [
+            "the cat and the dog is in that house for it",
+            "der hund und die katze ist nicht ein tier mit den",
+            "le chat est dans la maison et il est un animal",
+            "el gato es un animal y no es la casa de que",
+            "брза смеђа лисица скаче преко лењог пса",
+            "你好 世界 你好 世界 你好",
+            "", "   ", "12345 67890 !!!", "la la la un un",  # profile overlaps
+            "mixed брза text with some ћирилица only partly",
+            "xyzzy plugh qwerty",
+        ]
+        tbl = _doc_table(texts)
+        assert ts.langid_batch(tbl).equals(ts.langid_batch_scalar(tbl))
+
     def test_fingerprint_rolling_deterministic(self):
         a = ts.fingerprint_rolling_batch(_doc_table(["hello world"]))
         b = ts.fingerprint_rolling_batch(_doc_table(["hello world"]))
