@@ -24,6 +24,7 @@ from post_ocr_corrector_ray.functions.alphabet import build_alphabet
 from post_ocr_corrector_ray.pipelines import documents as D
 from post_ocr_corrector_ray.pipelines import embeddings as E
 from post_ocr_corrector_ray.pipelines import relational as R
+from post_ocr_corrector_ray.pipelines import training as T
 from post_ocr_corrector_ray.pipelines.extract_correct import extract_correct
 from post_ocr_corrector_ray.sources import synth
 
@@ -158,6 +159,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_pairs": D.doc_minhash_pairs,
         "doc_ngram_jaccard_pairs": D.doc_ngram_jaccard_pairs,
         "doc_minhash_bucket_stats": lambda sf: D.doc_minhash_bucket_stats(sf),
+        # training-data feed (CorrectorDataset+DataLoader analog: collated
+        # INT_EMPTY-padded (messy, clean) id batches, deterministic epoch
+        # shuffle — pipelines/training.py; batch-content determinism across
+        # parallelism is pytest-pinned in tests/test_training_feed.py)
+        "training_feed": lambda sf: T.training_feed(sf),
         # multimodal binary columns (synthetic media; header parsing is real,
         # pixel decode stubbed — stages/multimodal.py)
         "media_metadata": lambda sf: _media_metadata(200),

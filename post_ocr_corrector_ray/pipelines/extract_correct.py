@@ -154,6 +154,7 @@ def extract_correct(pages: ray.data.Dataset, *, corrector: CorrectorKind = "null
                     out_dir: str | None = None, num_partitions: int = 32,
                     resume: bool = True, input_fingerprint: str = "",
                     chunk_parallel: bool = False, chunk_threshold: int | None = None,
+                    data_format: str = "parquet",
                     **correct_kwargs) -> ray.data.Dataset:
     """Full pipeline.  With ``out_dir`` set, executes and commits partitioned
     output (returns the tiny per-partition summary dataset); without, returns
@@ -207,7 +208,7 @@ def extract_correct(pages: ray.data.Dataset, *, corrector: CorrectorKind = "null
                                         preserve_index=False)
         n_empty = sum(1 for t in body.column(OUT_COL).to_pylist() if not t)
         rec = lin.commit_partition(
-            body, out_dir, part_id,
+            body, out_dir, part_id, data_format=data_format,
             input_fingerprint=input_fingerprint, stage_versions=stage_versions,
             metrics={"n_empty_outputs": n_empty,
                      "total_out_chars": sum(len(t or "") for t in body.column(OUT_COL).to_pylist()),

@@ -75,16 +75,29 @@ def committed_partitions(out_dir: str) -> frozenset[int]:
 
 def commit_partition(table: pa.Table, out_dir: str, part_id: int, *,
                      input_fingerprint: str = "", stage_versions: dict | None = None,
-                     metrics: dict | None = None) -> dict:
-    """Atomically write one partition + its lineage record; returns the record."""
+                     metrics: dict | None = None,
+                     data_format: str = "parquet") -> dict:
+    """Atomically write one partition + its lineage record; returns the record.
+
+    ``data_format="csv"`` mirrors the reference eval sink (eval.py:39-42
+    appends CSV rows); parquet is the engine default.  Same tmp→rename
+    protocol, same ``_SUCCESS.json`` marker either way."""
     pdir = partition_dir(out_dir, part_id)
     os.makedirs(pdir, exist_ok=True)
     started = time.time()
-    tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}.parquet")
-    pq.write_table(table, tmp)
-    os.replace(tmp, os.path.join(pdir, "data.parquet"))
+    tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}.{data_format}")
+    if data_format == "parquet":
+        pq.write_table(table, tmp)
+    elif data_format == "csv":
+        from pyarrow import csv as pacsv
+
+        pacsv.write_csv(table, tmp)
+    else:
+        raise ValueError(f"unknown data_format: {data_format}")
+    os.replace(tmp, os.path.join(pdir, f"data.{data_format}"))
     record = {
         "partition": part_id,
+        "data_format": data_format,
         "n_rows": table.num_rows,
         "engine_version": __version__,
         "input_fingerprint": input_fingerprint,
@@ -111,8 +124,15 @@ def read_lineage(out_dir: str) -> list[dict]:
 
 def read_output(out_dir: str) -> pa.Table:
     """Concatenate committed partitions (test/driver-side convenience)."""
-    tables = [pq.read_table(os.path.join(partition_dir(out_dir, p), "data.parquet"))
-              for p in sorted(committed_partitions(out_dir))]
+    tables = []
+    for p in sorted(committed_partitions(out_dir)):
+        pdir = partition_dir(out_dir, p)
+        if os.path.exists(os.path.join(pdir, "data.parquet")):
+            tables.append(pq.read_table(os.path.join(pdir, "data.parquet")))
+        else:
+            from pyarrow import csv as pacsv
+
+            tables.append(pacsv.read_csv(os.path.join(pdir, "data.csv")))
     if not tables:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
     return pa.concat_tables(tables)

@@ -179,6 +179,21 @@ class TestCommitResume:
         assert set(summary2["part"]) == set(victims)
         assert lin.committed_partitions(out) == first
 
+    def test_csv_sink_variant(self, pages_file, tmp_path):
+        """Reference eval.py:39-42 writes CSV — the commit sink supports it
+        with the same atomic-rename + _SUCCESS protocol and readback."""
+        import ray.data
+
+        out = str(tmp_path / "csvout")
+        s = extract_correct(ray.data.read_parquet(pages_file), corrector="null",
+                            out_dir=out, num_partitions=4,
+                            data_format="csv").to_pandas()
+        assert s["n_rows"].sum() == N_PAGES
+        tbl = lin.read_output(out)
+        assert tbl.num_rows == N_PAGES
+        assert all(r["data_format"] == "csv" for r in lin.read_lineage(out))
+        assert os.path.exists(os.path.join(out, "part=00000", "data.csv"))
+
     def test_crashed_partition_redone_cleanly(self, pages_file, tmp_path):
         """A partition with data but no _SUCCESS (crash between write and
         commit) plus stray tmp files is redone and recommitted atomically."""
