@@ -269,6 +269,62 @@ def _ivf_oracle_sql(n_clusters: int = 16, n_probe: int = 4, k: int = 10) -> str:
         ORDER BY sim DESC, vec_id LIMIT {k}"""
 
 
+def _langid_oracle_sql() -> str:
+    """SQL twin of the vectorized language heuristic (stages/textstats.py):
+    script-class codepoint counts, distinct-stopword profile voting with
+    alphabetical tiebreak, und fallback.  Profiles are generated from the
+    engine's own table so they cannot drift."""
+    from post_ocr_corrector_ray.stages.textstats import _LANG_PROFILES
+
+    prof_vals = ", ".join(f"('{lang}', '{w}')"
+                          for lang in sorted(_LANG_PROFILES)
+                          for w in sorted(_LANG_PROFILES[lang]))
+    return f"""
+        WITH prof(lang, w) AS (VALUES {prof_vals}),
+        words AS (
+          SELECT DISTINCT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                      x -> x <> '')) AS w
+            FROM documents)
+        ),
+        hits AS (
+          SELECT w.doc_id, p.lang, CAST(count(*) AS BIGINT) AS h
+          FROM words w JOIN prof p ON w.w = p.w GROUP BY 1, 2
+        ),
+        best AS (
+          SELECT doc_id, lang, h,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY h DESC, lang) AS rn
+          FROM hits
+        ),
+        scripts AS (
+          SELECT doc_id,
+                 CAST(length(text) - length(regexp_replace(text,
+                      '[\\x{{0400}}-\\x{{04FF}}]', '', 'g')) AS BIGINT) AS n_cyr,
+                 CAST(length(text) - length(regexp_replace(text,
+                      '[\\x{{4E00}}-\\x{{9FFF}}]', '', 'g')) AS BIGINT) AS n_cjk,
+                 greatest(CAST(length(text) - length(regexp_replace(text,
+                      '\\pL', '', 'g')) AS BIGINT), 1) AS n_alpha,
+                 length(text) AS n_len
+          FROM documents
+        )
+        SELECT s.doc_id,
+               CASE WHEN s.n_len = 0 THEN 'und'
+                    WHEN CAST(s.n_cyr AS DOUBLE) / s.n_alpha > 0.5 THEN 'sr'
+                    WHEN CAST(s.n_cjk AS DOUBLE) / s.n_alpha > 0.5 THEN 'zh'
+                    WHEN b.h IS NULL OR b.h = 0 THEN 'und'
+                    ELSE b.lang END AS lang_pred,
+               CASE WHEN s.n_len = 0 THEN 0.0
+                    WHEN CAST(s.n_cyr AS DOUBLE) / s.n_alpha > 0.5
+                         THEN CAST(s.n_cyr AS DOUBLE) / s.n_alpha
+                    WHEN CAST(s.n_cjk AS DOUBLE) / s.n_alpha > 0.5
+                         THEN CAST(s.n_cjk AS DOUBLE) / s.n_alpha
+                    WHEN b.h IS NULL OR b.h = 0 THEN 0.0
+                    ELSE CAST(b.h AS DOUBLE) / 10 END AS lang_conf
+        FROM scripts s LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)"""
+
+
 _STOP_LIST = "('the','a','of','and','to','in','is','on','for','with')"
 
 _TOKEN_STATS_SQL = f"""
@@ -328,6 +384,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS content_md5
             FROM documents GROUP BY md5(text)""",
         "doc_token_stats": _TOKEN_STATS_SQL,
+        "doc_langid": _langid_oracle_sql(),
         # Exact-Jaccard oracles for the LSH near-dup pipelines.  The engine
         # output is "LSH candidates, verified by exact Jaccard >= t"; on this
         # corpus similarity is bimodal (planted near-dups >= 0.9, background

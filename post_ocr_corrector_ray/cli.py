@@ -11,7 +11,9 @@ they run today):
 | ``make_split_csv.py`` | ``corpus`` (adds split column) |
 | ``eval.py`` / ``null_corrector.py`` | ``eval`` |
 | ``dictionary_corrector.py`` train | ``build-dictionary`` |
-| inference over pages | ``run`` (extract+correct, committed output) |
+| inference over pages | ``run`` (extract+correct, committed output; ``--data-format csv``, ``--num-gpus``) |
+| ``CorrectorDataset`` + DataLoader | ``feed`` (collated epoch batches parquet) |
+| ``NeuralCorrector.load_from_checkpoint`` | ``convert-ckpt`` (torch-free .ckpt → model dir) |
 | — | ``synth`` (deterministic test pages) |
 
 The CLI owns the Ray session (``ray.init(address="local")``); library code
@@ -59,6 +61,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--no-resume", action="store_true")
     s.add_argument("--chunk-parallel", action="store_true")
     s.add_argument("--concurrency", type=int, default=4)
+    s.add_argument("--data-format", choices=["parquet", "csv"], default="parquet")
+    s.add_argument("--num-gpus", type=float, default=None,
+                   help="GPUs per corrector actor (passed to map_batches)")
 
     s = sub.add_parser("alphabet", help="distinct-char aggregate over a text column")
     s.add_argument("parquet"); s.add_argument("--column", default="text")
@@ -82,7 +87,31 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("parse-markup", help="vertical-markup dir → sentences parquet")
     s.add_argument("markup_dir"); s.add_argument("out_dir")
 
+    s = sub.add_parser("feed", help="corpus → collated training batches parquet "
+                                    "(CorrectorDataset+DataLoader analog)")
+    s.add_argument("corpus_parquet"); s.add_argument("out_dir")
+    s.add_argument("--alphabet-file", required=True)
+    s.add_argument("--split", default="train")
+    s.add_argument("--batch-size", type=int, default=8)
+    s.add_argument("--epoch", type=int, default=0)
+
+    s = sub.add_parser("convert-ckpt", help="reference PTL .ckpt → engine model dir "
+                                            "(torch-free)")
+    s.add_argument("ckpt"); s.add_argument("alphabet_file"); s.add_argument("out_dir")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "convert-ckpt":
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "convert_reference_ckpt",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "scripts", "convert_reference_ckpt.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main(args.ckpt, args.alphabet_file, args.out_dir)
+        return 0
 
     if args.cmd == "synth":
         from .sources.synth import write_pages_parquet
@@ -117,7 +146,8 @@ def main(argv: list[str] | None = None) -> int:
                 ray.data.read_parquet(args.pages), corrector=args.corrector,
                 out_dir=args.out_dir, num_partitions=args.partitions,
                 resume=not args.no_resume, chunk_parallel=args.chunk_parallel,
-                concurrency=args.concurrency,
+                concurrency=args.concurrency, data_format=args.data_format,
+                num_gpus=args.num_gpus,
                 input_fingerprint=fingerprint_inputs(args.pages), **kwargs).to_pandas()
             print(json.dumps({"partitions_committed": len(summary),
                               "rows": int(summary["n_rows"].sum()) if len(summary) else 0}))
@@ -158,6 +188,16 @@ def main(argv: list[str] | None = None) -> int:
 
             read_markup_dir(args.markup_dir).write_parquet(args.out_dir)
             print(f"sentences written to {args.out_dir}")
+        elif args.cmd == "feed":
+            from .pipelines.training import epoch_feed
+
+            with open(args.alphabet_file, encoding="utf-8") as f:
+                alphabet = f.read().replace("\n", "")
+            ds = epoch_feed(ray.data.read_parquet(args.corpus_parquet),
+                            alphabet=alphabet, split=args.split or None,
+                            batch_size=args.batch_size, epoch=args.epoch)
+            ds.write_parquet(args.out_dir)
+            print(f"collated batches written to {args.out_dir}")
     finally:
         ray.shutdown()
     return 0

@@ -44,11 +44,11 @@ def doc_all_chars(sf_dir: str) -> pa.Table:
     ds = _docs(sf_dir, ["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        chars: set[str] = set()
-        for t in batch.column("text").to_pylist():
-            if t:
-                chars.update(t)
-        return pa.table({"chars": pa.array(["".join(sorted(chars))], pa.string())})
+        # vectorized distinct chars: one utf-32 decode + np.unique per batch
+        joined = "".join(t for t in batch.column("text").to_pylist() if t)
+        cps = np.unique(np.frombuffer(joined.encode("utf-32-le"), dtype="<u4"))
+        chars = "".join(chr(int(c)) for c in cps)
+        return pa.table({"chars": pa.array([chars], pa.string())})
 
     merged: set[str] = set()
     for row in ds.map_batches(partial, batch_format="pyarrow").take_all():

@@ -385,10 +385,8 @@ def simhash64(text: str, k_shingle: int = 5) -> int:
         return 0
     bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
     votes = (2 * bits - 1).sum(axis=0)
-    word = 0
-    for b in range(64):
-        if votes[b] > 0:
-            word |= 1 << b
+    weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+    word = int((votes > 0).astype(np.uint64) @ weights)
     return word & 0x7FFFFFFFFFFFFFFF  # keep int64-positive for Arrow
 
 

@@ -73,6 +73,46 @@ class TestCli:
                                  "clean": ["abcd", "xyz"]}), f)
         assert main(["eval", f]) == 0
 
+    def test_feed_subcommand(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from post_ocr_corrector_ray.cli import main
+
+        f = str(tmp_path / "corpus.parquet")
+        pq.write_table(pa.table({
+            "url": [f"u{i}" for i in range(12)],
+            "clean": ["ab cd"] * 12, "messy": ["ab ce"] * 12,
+            "split": ["train"] * 12}), f)
+        alpha = tmp_path / "alpha.txt"
+        alpha.write_text("abcde ")
+        out = str(tmp_path / "feed_out")
+        assert main(["feed", f, out, "--alphabet-file", str(alpha),
+                     "--batch-size", "4"]) == 0
+        got = pq.read_table(out)
+        assert got.num_rows == 3 and set(got.column("size").to_pylist()) == {4}
+
+    def test_convert_ckpt_subcommand(self, tmp_path):
+        from post_ocr_corrector_ray.cli import main
+        from post_ocr_corrector_ray.functions.alphabet import build_alphabet
+        from post_ocr_corrector_ray.model import ckpt_compat as cc
+        from post_ocr_corrector_ray.model.artifacts import load_model_dir
+        from post_ocr_corrector_ray.model.neural import NeuralCorrectorModel
+
+        alphabet = build_alphabet(set("abc "))
+        hp = dict(max_len=8, d_model=8, n_head=2, n_layers=1, d_linear=8)
+        m = NeuralCorrectorModel.from_seed(alphabet, seed=3, **hp)
+        sd = cc.params_to_state_dict(
+            {k: v for k, v in m.net.w.items() if not k.startswith("_")}, 1)
+        ckpt = str(tmp_path / "ref.ckpt")
+        cc.write_fake_torch_ckpt(ckpt, sd, dict(hp, batch_size=4))
+        af = tmp_path / "alpha.txt"
+        af.write_text(alphabet)
+        out = str(tmp_path / "mdir")
+        assert main(["convert-ckpt", ckpt, str(af), out]) == 0
+        m2 = load_model_dir(out)
+        assert m2.correct_document("ab c") == m.correct_document("ab c")
+
     def test_subprocess_end_to_end(self, tmp_path):
         """One real subprocess run proving the CLI owns its own session."""
         pages = str(tmp_path / "p.parquet")
