@@ -126,6 +126,12 @@ def _media_metadata(n: int):
                              batch_size=32, concurrency=2, num_cpus=1)
 
 
+def _dictionary_sweep(sf_dir: str):
+    from post_ocr_corrector_ray.pipelines.tuning import doc_dictionary_sweep
+
+    return doc_dictionary_sweep(sf_dir)
+
+
 def entry() -> Any:
     """Flagship pipeline smoke (sf0.001-scale synthetic pages)."""
     return _flagship(n_pages=60)
@@ -164,6 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shuffle — pipelines/training.py; batch-content determinism across
         # parallelism is pytest-pinned in tests/test_training_feed.py)
         "training_feed": lambda sf: T.training_feed(sf),
+        # tuning sweep (reference dictionary_corrector.py:200-246; the
+        # non-torch tuning loop — vocab once, per-option streaming CER eval)
+        "dictionary_sweep": lambda sf: _dictionary_sweep(sf),
         # multimodal binary columns (synthetic media; header parsing is real,
         # pixel decode stubbed — stages/multimodal.py)
         "media_metadata": lambda sf: _media_metadata(200),

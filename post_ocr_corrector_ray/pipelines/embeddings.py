@@ -41,6 +41,11 @@ def _emb(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _emb_count(sf_dir: str) -> int:
+    """Parquet-metadata row count (no data pass; quantizer frac hint)."""
+    return pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+
+
 def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     """The query is a row of the table itself (so the SQL oracle can name it).
     Row-filter pushdown: only the one matching row-group row leaves storage."""
@@ -60,7 +65,8 @@ def emb_ann_topk_lsh(sf_dir: str, k: int = 10) -> pa.Table:
 
 def emb_ann_topk_ivf(sf_dir: str, k: int = 10) -> pa.Table:
     return ann_topk_ivf(_emb(sf_dir), _query_vector(sf_dir, 0), k=k,
-                        n_clusters=16, n_probe=4)
+                        n_clusters=16, n_probe=4,
+                        approx_count=_emb_count(sf_dir))
 
 
 def emb_cosine_dups(sf_dir: str, threshold: float = 0.4) -> ray.data.Dataset:
@@ -72,7 +78,8 @@ def emb_cosine_dups_bucketed(sf_dir: str, threshold: float = 0.4) -> ray.data.Da
     """Sub-quadratic IVF-bucketed near-dup pairs (approximate; recall knob =
     n_assign/n_clusters, measured vs the exact path in pytest)."""
     return ivf_candidate_pairs(_emb(sf_dir), threshold=threshold,
-                               n_clusters=16, n_assign=2)
+                               n_clusters=16, n_assign=2,
+                               approx_count=_emb_count(sf_dir))
 
 
 def emb_nn_join(sf_dir: str) -> ray.data.Dataset:

@@ -122,10 +122,15 @@ def deterministic_sample(ds: ray.data.Dataset, *, frac: float,
 
 def train_quantizer_sample(ds: ray.data.Dataset, *, target: int = 4096,
                            vec_col: str = "embedding", id_col: str = "vec_id",
-                           seed: int = 7) -> np.ndarray:
+                           seed: int = 7,
+                           approx_count: int | None = None) -> np.ndarray:
     """Collect a small deterministic training sample for the IVF quantizer
-    (sorted by id so the matrix is independent of execution order)."""
-    n = ds.count()
+    (sorted by id so the matrix is independent of execution order).
+
+    ``approx_count``: pass the parquet-metadata row count when known — it only
+    sets the sample FRACTION, so an estimate is fine and saves a count() pass.
+    """
+    n = approx_count if approx_count is not None else ds.count()
     frac = min(1.0, target / max(n, 1))
     rows = deterministic_sample(ds.select_columns([id_col, vec_col]),
                                 frac=frac, id_col=id_col, seed=seed).take_all()
@@ -164,6 +169,7 @@ def ivf_assign_batch(batch: pa.Table, *, centroids: np.ndarray,
 def ann_topk_ivf(ds: ray.data.Dataset, query: np.ndarray, *, k: int = 10,
                  n_clusters: int = 16, n_probe: int = 4, seed: int = 42,
                  train_sample: np.ndarray | None = None,
+                 approx_count: int | None = None,
                  vec_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
     """IVF approximate top-k: score only vectors whose coarse cluster is among
     the query's ``n_probe`` nearest centroids (the classic inverted-file ANN
@@ -175,7 +181,8 @@ def ann_topk_ivf(ds: ray.data.Dataset, query: np.ndarray, *, k: int = 10,
     hash-matches; true recall vs the unrestricted top-k is measured in pytest
     and governed by ``n_probe`` (raise it for recall, lower it for speed)."""
     if train_sample is None:
-        train_sample = train_quantizer_sample(ds, vec_col=vec_col, id_col=id_col)
+        train_sample = train_quantizer_sample(ds, vec_col=vec_col, id_col=id_col,
+                                              approx_count=approx_count)
     centroids = kmeans_fit(train_sample, n_clusters, seed=seed)
     qd2 = ((centroids - query[None, :]) ** 2).sum(axis=1)
     probe = set(np.argsort(qd2)[:n_probe].tolist())
@@ -332,7 +339,8 @@ def ivf_candidate_pairs(ds: ray.data.Dataset, *, threshold: float,
                         n_clusters: int = 16, n_assign: int = 2,
                         seed: int = 42, vec_col: str = "embedding",
                         id_col: str = "vec_id",
-                        train_sample: np.ndarray | None = None) -> ray.data.Dataset:
+                        train_sample: np.ndarray | None = None,
+                        approx_count: int | None = None) -> ray.data.Dataset:
     """APPROXIMATE sub-quadratic near-dup pairs: multi-assign each vector to
     its ``n_assign`` nearest IVF clusters, generate pairs inside each cluster
     bucket, verify with exact cosine via the distributed payload join.
@@ -342,11 +350,16 @@ def ivf_candidate_pairs(ds: ray.data.Dataset, *, threshold: float,
     set is governed by ``n_assign`` (pairs split across cluster boundaries are
     missed; measured in tests/test_training_data_ops.py on the driver
     fixture).  Pair-count drops from oversized buckets are observable via
-    ``bucket_stats`` on the assignment rows."""
-    from .dedup import verify_pairs_payload
+    ``bucket_stats`` on the assignment rows.
 
+    Shuffle shape: the vector travels WITH its assignment rows as a compact
+    float64-bytes carry column (n_assign ≈ 2 copies), so verification is one
+    vectorized cosine over the emitted pairs — no extra payload-join shuffles
+    (cheaper than the minhash-style signature join whenever the payload is
+    small and the explode factor low)."""
     if train_sample is None:
-        train_sample = train_quantizer_sample(ds, vec_col=vec_col, id_col=id_col)
+        train_sample = train_quantizer_sample(ds, vec_col=vec_col, id_col=id_col,
+                                              approx_count=approx_count)
     centroids = kmeans_fit(train_sample, n_clusters, seed=seed)
 
     def assign_multi(batch: pa.Table) -> pa.Table:
@@ -354,32 +367,38 @@ def ivf_candidate_pairs(ds: ray.data.Dataset, *, threshold: float,
         m = _to_matrix(batch.column(vec_col))
         d2 = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         near = np.argsort(d2, axis=1)[:, :n_assign]          # (B, n_assign)
+        sig = np.ascontiguousarray(m.astype("<f8")).view(np.uint8) \
+            .reshape(len(ids), -1)
         return pa.table({
             "cluster": pa.array(near.ravel().astype(np.int64)),
-            id_col: pa.array(np.repeat(ids, n_assign), pa.int64())})
+            id_col: pa.array(np.repeat(ids, n_assign), pa.int64()),
+            "sig": pa.array([sig[i].tobytes() for i in range(len(ids))
+                             for _ in range(n_assign)], pa.binary())})
 
     from .dedup import _bucket_pairs_partitioned
 
     cand = _bucket_pairs_partitioned(
         ds.map_batches(assign_multi, batch_format="pyarrow"),
-        ["cluster"], id_col, max_bucket=1 << 14)
+        ["cluster"], id_col, carry_cols=["sig"], max_bucket=1 << 14)
 
-    def payload(batch: pa.Table) -> pa.Table:
-        m = _to_matrix(batch.column(vec_col))
-        sigs = [np.ascontiguousarray(row.astype("<f8")).tobytes() for row in m]
-        return pa.table({id_col: batch.column(id_col),
-                         "sig": pa.array(sigs, pa.binary())})
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        ma = np.stack([np.frombuffer(b, dtype="<f8")
+                       for b in batch.column("sig_a").to_pylist()])
+        mb = np.stack([np.frombuffer(b, dtype="<f8")
+                       for b in batch.column("sig_b").to_pylist()])
+        na = np.linalg.norm(ma, axis=1); na[na == 0] = 1.0
+        nb = np.linalg.norm(mb, axis=1); nb[nb == 0] = 1.0
+        sims = np.round((ma * mb).sum(axis=1) / (na * nb), SIM_DECIMALS)
+        out = pa.table({"id_a": batch.column("id_a"),
+                        "id_b": batch.column("id_b"),
+                        "sim": pa.array(sims, pa.float64())})
+        return out.filter(pa.compute.greater_equal(out.column("sim"), threshold))
 
-    def cosine_score(a: bytes, b: bytes) -> float:
-        va = np.frombuffer(a, dtype="<f8")
-        vb = np.frombuffer(b, dtype="<f8")
-        na = np.linalg.norm(va) or 1.0
-        nb = np.linalg.norm(vb) or 1.0
-        return float(np.round(np.dot(va, vb) / (na * nb), SIM_DECIMALS))
-
-    return verify_pairs_payload(cand, ds.map_batches(payload, batch_format="pyarrow"),
-                                id_col=id_col, score_fn=cosine_score,
-                                threshold=threshold, out_col="sim")
+    return cand.map_batches(verify, batch_format="pyarrow")
 
 
 def lsh_bucket_batch(batch: pa.Table, *, planes: np.ndarray,
