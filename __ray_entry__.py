@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "doc_dedup_exact": D.doc_dedup_exact,
         "doc_token_stats": D.doc_token_stats,
+        "doc_token_count_bpe": D.doc_token_count_bpe,
+        "doc_scrub_pii": D.doc_scrub_pii,
         "doc_quality": D.doc_quality,
         "doc_langid": D.doc_langid,
         "doc_fingerprint": D.doc_fingerprint,
@@ -192,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": R.events_hourly,
         "events_sessions": lambda sf: R.events_sessions(sf),
         "events_user_rolling": lambda sf: R.events_user_rolling(sf),
+        "events_value_lag": R.events_value_lag,
     }
 
 
@@ -394,6 +397,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)""",
         "doc_token_stats": _TOKEN_STATS_SQL,
         "doc_langid": _langid_oracle_sql(),
+        # RE2 on both sides (pyarrow + DuckDB) → identical match counts
+        "doc_token_count_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?\pL+| ?\pN+| ?[^\s\pL\pN]+|\s+'))
+                        AS BIGINT) AS n_bpe_tokens,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(list_filter(regexp_split_to_array(text, '\s+'),
+                                             x -> x <> '')) END AS BIGINT)
+                        AS n_ws_tokens
+            FROM documents""",
+        "doc_scrub_pii": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(text, '[\w.+-]+@[\w-]+\.[\w.]+',
+                                    '<EMAIL>', 'g'),
+                     '\pN{4,}', '<NUM>', 'g') AS scrubbed
+            FROM documents""",
         # Exact-Jaccard oracles for the LSH near-dup pipelines.  The engine
         # output is "LSH candidates, verified by exact Jaccard >= t"; on this
         # corpus similarity is bimodal (planted near-dups >= 0.9, background
@@ -538,6 +559,13 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id ORDER BY ts
                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS n_in_window
+            FROM events""",
+        "events_value_lag": """
+            SELECT event_id, user_id,
+                   (CAST(round(value * 100) AS BIGINT)
+                    - lag(CAST(round(value * 100) AS BIGINT))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 100.0
+                   AS value_delta
             FROM events""",
         "events_sessions": """
             WITH marks AS (

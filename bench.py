@@ -87,7 +87,9 @@ def run_benchmarks() -> dict:
         "doc_lev_reverse", "doc_simhash", "doc_minhash_pairs",
         "doc_ngram_jaccard_pairs", "emb_ann_topk", "emb_nn_join",
         "emb_cosine_dups", "emb_cosine_dups_bucketed", "doc_langid",
-        "doc_fingerprint", "events_user_rolling", "doc_null_corrector_cer",
+        "doc_fingerprint", "doc_token_count_bpe", "doc_scrub_pii",
+        "events_user_rolling", "events_value_lag", "training_feed",
+        "dictionary_sweep", "doc_null_corrector_cer",
     ]
     qs = entry.queries()
     for name in bench_queries:

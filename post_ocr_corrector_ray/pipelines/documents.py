@@ -129,6 +129,18 @@ def doc_fingerprint_rolling(sf_dir: str) -> ray.data.Dataset:
         ts.fingerprint_rolling_batch, batch_format="pyarrow")
 
 
+def doc_token_count_bpe(sf_dir: str) -> ray.data.Dataset:
+    """BPE-ish + whitespace token counts (training-budget pass; SQL twin)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ts.bpe_token_count_batch, batch_format="pyarrow")
+
+
+def doc_scrub_pii(sf_dir: str) -> ray.data.Dataset:
+    """Email/number scrubbing with typed placeholders (SQL twin)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ts.scrub_pii_batch, batch_format="pyarrow")
+
+
 def doc_simhash(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         dd.simhash_batch, batch_format="pyarrow")

@@ -194,6 +194,33 @@ def events_user_rolling(sf_dir: str, window_hours: int = 1) -> ray.data.Dataset:
     return grouped_apply(ds, ["user_id"], rolling)
 
 
+def events_value_lag(sf_dir: str) -> ray.data.Dataset:
+    """Per-event delta vs the user's previous event value (LAG window):
+    coarse hash-partition by user → per-partition vectorized shift.  First
+    event per user has a NULL delta (SQL LAG semantics).  Exact-cents
+    arithmetic so the doubles match the oracle bitwise."""
+    from ..stages.shuffle import grouped_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def lag_delta(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "value_delta": pd.Series([], dtype="float64")})
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        prev = pd.Series(cents).shift()
+        new_user = (df["user_id"] != df["user_id"].shift()).to_numpy()
+        delta = (cents - prev.to_numpy()) / 100.0
+        delta[new_user] = np.nan
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "user_id": df["user_id"].to_numpy(),
+                             "value_delta": delta})
+
+    return grouped_apply(ds, ["user_id"], lag_delta)
+
+
 def parts_by_brand(sf_dir: str) -> pa.Table:
     """Part stats per brand: count, total retail (exact cents), avg size."""
     ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
