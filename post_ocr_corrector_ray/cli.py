@@ -99,6 +99,13 @@ def main(argv: list[str] | None = None) -> int:
                                             "(torch-free)")
     s.add_argument("ckpt"); s.add_argument("alphabet_file"); s.add_argument("out_dir")
 
+    s = sub.add_parser("commit", help="any parquet → resumable key-partitioned "
+                                      "committed store (atomic + lineage)")
+    s.add_argument("parquet"); s.add_argument("out_dir")
+    s.add_argument("--key-col", required=True)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--data-format", choices=["parquet", "csv"], default="parquet")
+
     args = p.parse_args(argv)
 
     if args.cmd == "convert-ckpt":
@@ -188,6 +195,16 @@ def main(argv: list[str] | None = None) -> int:
 
             read_markup_dir(args.markup_dir).write_parquet(args.out_dir)
             print(f"sentences written to {args.out_dir}")
+        elif args.cmd == "commit":
+            from .state.lineage import commit_by_key, fingerprint_inputs
+
+            summary = commit_by_key(
+                ray.data.read_parquet(args.parquet), args.out_dir,
+                key_col=args.key_col, num_partitions=args.partitions,
+                data_format=args.data_format,
+                input_fingerprint=fingerprint_inputs(args.parquet)).to_pandas()
+            print(json.dumps({"partitions_committed": len(summary),
+                              "rows": int(summary["n_rows"].sum()) if len(summary) else 0}))
         elif args.cmd == "feed":
             from .pipelines.training import epoch_feed
 

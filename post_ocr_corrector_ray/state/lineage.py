@@ -113,6 +113,47 @@ def commit_partition(table: pa.Table, out_dir: str, part_id: int, *,
     return record
 
 
+def commit_by_key(ds, out_dir: str, *, key_col: str,
+                  num_partitions: int = 32, resume: bool = True,
+                  input_fingerprint: str = "", data_format: str = "parquet",
+                  stage_versions: dict | None = None):
+    """Generic resumable committed sink for ANY dataset: rows are
+    hash-partitioned on ``key_col`` (the same vectorized polynomial hash the
+    flagship uses), already-committed partitions are filtered out BEFORE any
+    shuffle work, and each partition commits atomically with a lineage
+    record.  Returns the tiny per-partition summary dataset.
+
+    This is the flagship's commit protocol lifted to a standalone operator so
+    every pipeline output (dedup tables, stats, training feeds) can be a
+    resumable partitioned store rather than one giant file."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.hashing import partition_of_array
+
+    committed = committed_partitions(out_dir) if resume else frozenset()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = partition_of_array(batch.column(key_col).cast(pa.string()),
+                                   num_partitions)
+        batch = batch.append_column("_part", pa.array(parts, pa.int64()))
+        if committed:
+            keep = ~np.isin(parts, np.fromiter(committed, dtype=np.int64))
+            batch = batch.filter(pa.array(keep, pa.bool_()))
+        return batch
+
+    def _commit(group: pa.Table) -> pa.Table:
+        part_id = int(group.column("_part")[0].as_py())
+        rec = commit_partition(group.drop_columns(["_part"]), out_dir, part_id,
+                               input_fingerprint=input_fingerprint,
+                               stage_versions=stage_versions,
+                               data_format=data_format)
+        return pa.Table.from_pylist([{"part": part_id, "n_rows": rec["n_rows"]}])
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(_commit, batch_format="pyarrow")
+
+
 def read_lineage(out_dir: str) -> list[dict]:
     out = []
     for part_id in sorted(committed_partitions(out_dir)):

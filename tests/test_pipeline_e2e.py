@@ -232,3 +232,34 @@ class TestCommitResume:
         a = [partition_of(u, 8) for u in urls]
         b = [partition_of(u, 8) for u in urls]
         assert a == b
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCommitByKey:
+    def test_generic_sink_commits_and_resumes(self, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        from post_ocr_corrector_ray.state.lineage import commit_by_key
+
+        out = str(tmp_path / "generic")
+        tbl = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                        "text": pa.array([f"t{i}" for i in range(100)])})
+        s = commit_by_key(ray.data.from_arrow(tbl), out, key_col="doc_id",
+                          num_partitions=8).to_pandas()
+        assert s["n_rows"].sum() == 100 and len(s) == 8
+        back = lin.read_output(out)
+        assert sorted(back.column("doc_id").to_pylist()) == list(range(100))
+        assert "_part" not in back.column_names
+        # resume: nothing recommitted
+        s2 = commit_by_key(ray.data.from_arrow(tbl), out, key_col="doc_id",
+                           num_partitions=8).to_pandas()
+        assert len(s2) == 0
+        # partial wipe → only the missing partition is redone
+        import shutil
+
+        shutil.rmtree(lin.partition_dir(out, int(s["part"][0])))
+        s3 = commit_by_key(ray.data.from_arrow(tbl), out, key_col="doc_id",
+                           num_partitions=8).to_pandas()
+        assert len(s3) == 1
+        assert lin.read_output(out).num_rows == 100
