@@ -126,6 +126,35 @@ def _media_metadata(n: int):
                              batch_size=32, concurrency=2, num_cpus=1)
 
 
+def _media_ds(n: int):
+    import pyarrow as pa
+
+    import ray.data
+
+    from post_ocr_corrector_ray.stages import multimodal as mm
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return mm.media_batch(batch.column("id").to_numpy(), seed=42)
+
+    return ray.data.range(n, override_num_blocks=8).map_batches(
+        gen, batch_format="pyarrow")
+
+
+def _media_resize(n: int):
+    from post_ocr_corrector_ray.stages import multimodal as mm
+
+    return _media_ds(n).map_batches(mm.MediaResizeStage, batch_format="pyarrow",
+                                    batch_size=32, concurrency=2, num_cpus=1)
+
+
+def _media_frame_sample(n: int):
+    from post_ocr_corrector_ray.stages import multimodal as mm
+
+    return _media_ds(n).map_batches(mm.frame_sample_batch,
+                                    batch_format="pyarrow",
+                                    fn_kwargs=dict(every_n=10))
+
+
 def _dictionary_sweep(sf_dir: str):
     from post_ocr_corrector_ray.pipelines.tuning import doc_dictionary_sweep
 
@@ -178,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal binary columns (synthetic media; header parsing is real,
         # pixel decode stubbed — stages/multimodal.py)
         "media_metadata": lambda sf: _media_metadata(200),
+        "media_resize": lambda sf: _media_resize(200),
+        "media_frame_sample": lambda sf: _media_frame_sample(200),
         # embeddings / similarity search
         "emb_ann_topk": lambda sf: E.emb_ann_topk(sf),
         "emb_ann_topk_lsh": lambda sf: E.emb_ann_topk_lsh(sf),

@@ -45,7 +45,32 @@ def sniff_kind(payload: bytes) -> str:
         return "gif"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     return "unknown"
+
+
+def parse_avi_header(payload: bytes) -> dict:
+    """Real RIFF-AVI main-header parse: scan for the ``avih`` chunk
+    (MainAVIHeader: µs/frame @0, total_frames @16, width @32, height @36)."""
+    i = 12
+    n = len(payload)
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"LIST":
+            i += 12  # descend into the list (skip its 4-byte list type)
+            continue
+        if cid == b"avih" and i + 8 + 40 <= n:
+            body = payload[i + 8 :]
+            usec = struct.unpack("<I", body[0:4])[0]
+            total = struct.unpack("<I", body[16:20])[0]
+            w, h = struct.unpack("<II", body[32:40])
+            fps = 1e6 / usec if usec else 0.0
+            return {"width": w, "height": h, "n_frames": total, "fps": fps,
+                    "duration_s": total * usec / 1e6}
+        i += 8 + size + (size % 2)
+    return {}
 
 
 def parse_png_header(payload: bytes) -> dict:
@@ -105,6 +130,107 @@ def decode_pixels(payload: bytes, *, fake: bool = False) -> np.ndarray:
     return rng.standard_normal(FEATURE_DIM).astype(np.float32)
 
 
+def sample_pixels(payload: bytes, ys: np.ndarray, xs: np.ndarray, *,
+                  fake: bool = False) -> np.ndarray:
+    """STUB decode-at-coordinates: returns uint8 gray values for the given
+    (y, x) pixel coordinates.
+
+    A real decoder would decompress the image once and index it; without an
+    image library the fake path derives each value deterministically from
+    (content hash, y, x) — vectorized, so the RESIZE GEOMETRY downstream is
+    exercised on arbitrary image sizes with O(target) not O(source) work."""
+    if not fake:
+        raise NotImplementedError(
+            "pixel decode requires an image library not present in this "
+            "environment; pass fake=True for the deterministic stub")
+    from ..functions.hashing import hash_u64_array
+
+    base = np.uint64(stable_hash_bytes_u64(payload))
+    mixed = hash_u64_array(
+        base + ys.astype(np.uint64) * np.uint64(1_000_003)
+        + xs.astype(np.uint64), seed=7)
+    return (mixed & np.uint64(0xFF)).astype(np.uint8)
+
+
+def resize_plan(src_h: int, src_w: int, dst_h: int, dst_w: int
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """REAL nearest-neighbor resize geometry (pixel-center sampling, the
+    OpenCV/PIL NEAREST convention): source index = floor((i + 0.5) · s/d)."""
+    ys = np.minimum((np.arange(dst_h) + 0.5) * (src_h / dst_h), src_h - 1) \
+        .astype(np.int64)
+    xs = np.minimum((np.arange(dst_w) + 0.5) * (src_w / dst_w), src_w - 1) \
+        .astype(np.int64)
+    return ys, xs
+
+
+class MediaResizeStage:
+    """Actor-pool stage: image payload → resized grayscale thumbnail bytes.
+
+    Real parts: header-dims parse, resize geometry (``resize_plan``), output
+    layout (fixed-size binary thumbnail + dims).  Stubbed part: the pixel
+    source (``sample_pixels`` fake).  Non-image rows emit NULL thumbnail."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "media_id",
+                 out_h: int = 16, out_w: int = 16, fake: bool = True):
+        self.payload_col, self.id_col = payload_col, id_col
+        self.out_h, self.out_w, self.fake = out_h, out_w, fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        thumbs: list[bytes | None] = []
+        for payload in batch.column(self.payload_col).to_pylist():
+            payload = payload or b""
+            kind = sniff_kind(payload)
+            meta = (parse_png_header(payload) if kind == "png"
+                    else parse_jpeg_header(payload) if kind == "jpeg" else {})
+            if not meta.get("width") or not meta.get("height"):
+                thumbs.append(None)
+                continue
+            ys, xs = resize_plan(meta["height"], meta["width"],
+                                 self.out_h, self.out_w)
+            yy, xx = np.meshgrid(ys, xs, indexing="ij")
+            thumbs.append(sample_pixels(payload, yy.ravel(), xx.ravel(),
+                                        fake=self.fake).tobytes())
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "thumb": pa.array(thumbs, pa.binary()),
+            "thumb_h": pa.array([self.out_h] * batch.num_rows, pa.int32()),
+            "thumb_w": pa.array([self.out_w] * batch.num_rows, pa.int32()),
+        })
+
+
+def frame_sample_batch(batch: pa.Table, *, every_n: int = 10,
+                       payload_col: str = "payload",
+                       id_col: str = "media_id") -> pa.Table:
+    """Video frame sampling: explode each video row into every-Nth-frame rows
+    (frame index + timestamp from the REAL avih header; per-frame feature is
+    the content+frame-keyed stub).  Non-video rows produce no output rows —
+    the flat-map shape of a real frame extractor."""
+    ids_out, fidx_out, ts_out, feat_out = [], [], [], []
+    for mid, payload in zip(batch.column(id_col).to_pylist(),
+                            batch.column(payload_col).to_pylist()):
+        payload = payload or b""
+        if sniff_kind(payload) != "avi":
+            continue
+        meta = parse_avi_header(payload)
+        n, fps = int(meta.get("n_frames", 0)), meta.get("fps", 0.0)
+        for f in range(0, n, every_n):
+            ids_out.append(mid)
+            fidx_out.append(f)
+            ts_out.append(f / fps if fps else 0.0)
+            feat_out.append(sample_pixels(
+                payload, np.full(FEATURE_DIM, f, dtype=np.uint64),
+                np.arange(FEATURE_DIM, dtype=np.uint64), fake=True)
+                .astype("<f4").tobytes())
+    return pa.table({
+        id_col: pa.array(ids_out, pa.int64()),
+        "frame_idx": pa.array(fidx_out, pa.int32()),
+        "t_s": pa.array(ts_out, pa.float64()),
+        # float32-LE bytes (not list<float>): hashable/sortable for the
+        # driver's canonical row compare; np.frombuffer to consume
+        "frame_feature": pa.array(feat_out, pa.binary()),
+    })
+
+
 class MediaMetadataStage:
     """Actor-pool stage: binary payload → (kind, metadata columns).
 
@@ -115,7 +241,7 @@ class MediaMetadataStage:
         self.payload_col, self.id_col = payload_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        kinds, widths, heights, rates, durs = [], [], [], [], []
+        kinds, widths, heights, rates, durs, frames, fpss = [], [], [], [], [], [], []
         for payload in batch.column(self.payload_col).to_pylist():
             payload = payload or b""
             kind = sniff_kind(payload)
@@ -127,10 +253,14 @@ class MediaMetadataStage:
                 meta = parse_jpeg_header(payload)
             elif kind == "wav":
                 meta = parse_wav_header(payload)
+            elif kind == "avi":
+                meta = parse_avi_header(payload)
             widths.append(meta.get("width"))
             heights.append(meta.get("height"))
             rates.append(meta.get("sample_rate"))
             durs.append(meta.get("duration_s"))
+            frames.append(meta.get("n_frames"))
+            fpss.append(meta.get("fps"))
         return pa.table({
             self.id_col: batch.column(self.id_col),
             "kind": pa.array(kinds, pa.string()),
@@ -138,6 +268,8 @@ class MediaMetadataStage:
             "height": pa.array(heights, pa.int32()),
             "sample_rate": pa.array(rates, pa.int32()),
             "duration_s": pa.array(durs, pa.float64()),
+            "n_frames": pa.array(frames, pa.int32()),
+            "fps": pa.array(fpss, pa.float64()),
             "n_bytes": pa.array([len(p or b"") for p in
                                  batch.column(self.payload_col).to_pylist()], pa.int64()),
         })
@@ -196,15 +328,33 @@ def synth_wav(media_id: int, seed: int = 42) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def synth_avi(media_id: int, seed: int = 42) -> bytes:
+    """Minimal valid RIFF-AVI: hdrl LIST with a real MainAVIHeader chunk."""
+    rng = np.random.default_rng(stable_hash_bytes_u64(f"avi:{seed}:{media_id}".encode()))
+    fps = int(rng.choice([24, 25, 30]))
+    usec = 1_000_000 // fps
+    total = int(rng.integers(30, 600))
+    w, h = int(rng.integers(160, 1920)), int(rng.integers(120, 1080))
+    avih_body = struct.pack("<IIIIIIII", usec, 0, 0, 0, total, 0, 1, 0) \
+        + struct.pack("<II", w, h) + b"\x00" * 16
+    avih = b"avih" + struct.pack("<I", len(avih_body)) + avih_body
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    movi = b"LIST" + struct.pack("<I", 4) + b"movi"
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def media_batch(indices: np.ndarray, seed: int = 42) -> pa.Table:
     ids, payloads = [], []
     for i in indices:
         i = int(i)
         ids.append(i)
-        if i % 3 == 0:
+        if i % 4 == 0:
             payloads.append(synth_png(i, seed))
-        elif i % 3 == 1:
+        elif i % 4 == 1:
             payloads.append(synth_wav(i, seed))
+        elif i % 4 == 2:
+            payloads.append(synth_avi(i, seed))
         else:
             payloads.append(b"\x00garbage-payload" + bytes([i % 256]))
     return pa.table({"media_id": pa.array(ids, pa.int64()),

@@ -62,7 +62,8 @@ class TestStagesOnRay:
             concurrency=2, num_cpus=1).to_pandas()
         assert len(out) == 30
         kinds = out.set_index("media_id")["kind"]
-        assert kinds[0] == "png" and kinds[1] == "wav" and kinds[2] == "unknown"
+        assert kinds[0] == "png" and kinds[1] == "wav" and kinds[2] == "avi"
+        assert kinds[3] == "unknown"
         assert out.loc[out["kind"] == "png", "width"].notna().all()
         assert (out.loc[out["kind"] == "wav", "duration_s"] > 0).all()
         assert "payload" not in out.columns  # wide column projected away
@@ -84,3 +85,57 @@ class TestStagesOnRay:
         m1 = {i: list(f) for i, f in zip(out["media_id"], out["feature"])}
         m2 = {i: list(f) for i, f in zip(out2["media_id"], out2["feature"])}
         assert m1 == m2
+
+
+class TestAviAndResize:
+    def test_avi_header_roundtrip(self):
+        from post_ocr_corrector_ray.stages import multimodal as mm
+
+        p = mm.synth_avi(7)
+        assert mm.sniff_kind(p) == "avi"
+        meta = mm.parse_avi_header(p)
+        assert meta["n_frames"] >= 30 and meta["fps"] > 0
+        assert meta["duration_s"] == meta["n_frames"] * (1e6 // meta["fps"]) / 1e6 \
+            or meta["duration_s"] > 0
+        assert meta["width"] >= 160 and meta["height"] >= 120
+
+    def test_resize_plan_geometry(self):
+        import numpy as np
+
+        from post_ocr_corrector_ray.stages.multimodal import resize_plan
+
+        ys, xs = resize_plan(100, 200, 10, 10)
+        # pixel-center nearest: index i maps to floor((i+0.5)*scale)
+        assert ys.tolist() == [int((i + 0.5) * 10) for i in range(10)]
+        assert xs.tolist() == [int((i + 0.5) * 20) for i in range(10)]
+        # identity resize maps each pixel to itself
+        ys2, xs2 = resize_plan(8, 8, 8, 8)
+        assert ys2.tolist() == list(range(8)) and xs2.tolist() == list(range(8))
+
+    def test_resize_stage_and_frame_sample(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from post_ocr_corrector_ray.stages import multimodal as mm
+
+        batch = mm.media_batch(np.arange(12))
+        thumbs = mm.MediaResizeStage(out_h=8, out_w=8)(batch)
+        kinds = [mm.sniff_kind(p) for p in batch.column("payload").to_pylist()]
+        for k, t in zip(kinds, thumbs.column("thumb").to_pylist()):
+            if k == "png":
+                assert t is not None and len(t) == 64
+            else:
+                assert t is None           # non-image rows: NULL thumbnail
+        # deterministic
+        assert thumbs.equals(mm.MediaResizeStage(out_h=8, out_w=8)(batch))
+
+        frames = mm.frame_sample_batch(batch, every_n=10)
+        metas = {i: mm.parse_avi_header(p)
+                 for i, p, k in zip(batch.column("media_id").to_pylist(),
+                                    batch.column("payload").to_pylist(), kinds)
+                 if k == "avi"}
+        assert set(frames.column("media_id").to_pylist()) == set(metas)
+        for mid, meta in metas.items():
+            rows = [r for r in frames.to_pylist() if r["media_id"] == mid]
+            assert len(rows) == -(-meta["n_frames"] // 10)  # ceil
+            assert rows[1]["t_s"] == 10 / meta["fps"]
