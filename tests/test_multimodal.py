@@ -139,3 +139,25 @@ class TestAviAndResize:
             rows = [r for r in frames.to_pylist() if r["media_id"] == mid]
             assert len(rows) == -(-meta["n_frames"] // 10)  # ceil
             assert rows[1]["t_s"] == 10 / meta["fps"]
+
+
+class TestGarbageRobustness:
+    def test_truncated_and_garbage_payloads_never_raise(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from post_ocr_corrector_ray.stages import multimodal as mm
+
+        full = [mm.synth_png(1), mm.synth_wav(2), mm.synth_avi(3)]
+        payloads = [b"", b"\x00", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE",
+                    b"RIFF\x00\x00\x00\x00AVI ", b"\x89PNG\r\n\x1a\n",
+                    b"\xff\xd8\xff\xe0"]
+        payloads += [p[:k] for p in full for k in (4, 9, 13, 21, len(p) - 3)]
+        batch = pa.table({"media_id": pa.array(range(len(payloads)), pa.int64()),
+                          "payload": pa.array(payloads, pa.binary())})
+        meta = mm.MediaMetadataStage()(batch)
+        assert meta.num_rows == len(payloads)
+        thumbs = mm.MediaResizeStage(out_h=4, out_w=4)(batch)
+        assert thumbs.num_rows == len(payloads)
+        frames = mm.frame_sample_batch(batch)
+        assert frames.num_rows >= 0  # no crash; truncated avih yields no rows
