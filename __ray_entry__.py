@@ -391,7 +391,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "doc_normalize_ws": r"""
             SELECT doc_id,
                    regexp_replace(regexp_replace(text, '\s+', ' ', 'g'), '^ ', '') AS norm_text
@@ -516,7 +516,8 @@ def oracle_sql() -> dict[str, str]:
                           WHERE vec_id = 0)), 6) AS sim
             FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""",
         "emb_ann_topk_lsh": _lsh_oracle_sql(),
-        "emb_ann_topk_ivf": _ivf_oracle_sql(),
+        # added conditionally below: emb_ann_topk_ivf needs the sf0.01
+        # fixture to derive centroid constants
         "emb_nn_join": """
             SELECT vec_id, nn_id, nn_sim FROM (
               SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
@@ -609,3 +610,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(new_s) AS BIGINT) AS n_sessions
             FROM marks GROUP BY user_id""",
     }
+    # the IVF oracle inlines centroids derived from the driver's sf0.01
+    # correctness fixture; if that fixture is absent (other deployments),
+    # degrade that ONE query to rows-only instead of breaking every oracle
+    if os.path.exists(f"{_ORACLE_SF_DIR}/embeddings.parquet"):
+        out["emb_ann_topk_ivf"] = _ivf_oracle_sql()
+    return out

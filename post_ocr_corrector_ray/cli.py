@@ -109,15 +109,12 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     if args.cmd == "convert-ckpt":
-        import importlib.util
+        from .model.ckpt_compat import convert_to_model_dir
 
-        spec = importlib.util.spec_from_file_location(
-            "convert_reference_ckpt",
-            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                         "scripts", "convert_reference_ckpt.py"))
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        mod.main(args.ckpt, args.alphabet_file, args.out_dir)
+        with open(args.alphabet_file, encoding="utf-8") as f:
+            alphabet = f.read().replace("\n", "")
+        hp = convert_to_model_dir(args.ckpt, alphabet, args.out_dir)
+        print(json.dumps({"out_dir": args.out_dir, **hp}))
         return 0
 
     if args.cmd == "synth":

@@ -224,6 +224,32 @@ def checkpoint_to_weights(ckpt_path: str, alphabet: str) -> tuple[TransformerWei
     return TransformerWeights(config=cfg, params=params), hp
 
 
+def convert_to_model_dir(ckpt_path: str, alphabet: str, out_dir: str) -> dict:
+    """``.ckpt`` → servable engine model dir (hyperparameters.json,
+    alphabet.txt, weights.npz — the layout every corrector actor loads once
+    in ``__init__``, model/artifacts.py).  Returns the written hparams."""
+    import json
+    import os
+
+    from . import artifacts
+
+    weights, hp = checkpoint_to_weights(ckpt_path, alphabet)
+    os.makedirs(out_dir, exist_ok=True)
+    cfg = weights.config
+    hparams = {k: getattr(cfg, k) for k in ("max_len", "d_model", "n_head",
+                                            "n_layers", "d_linear",
+                                            "layer_norm_eps")}
+    hparams["batch_size"] = int(hp.get("batch_size", 4))
+    with open(os.path.join(out_dir, artifacts.HYPERPARAMS_FILE), "w",
+              encoding="utf-8") as f:
+        json.dump(hparams, f, indent=2)
+    with open(os.path.join(out_dir, artifacts.ALPHABET_FILE), "w",
+              encoding="utf-8") as f:
+        f.write(alphabet)
+    weights.save_npz(os.path.join(out_dir, artifacts.WEIGHTS_FILE))
+    return hparams
+
+
 # --- test-only writer (handcrafted torch zip format) --------------------------
 
 

@@ -172,6 +172,7 @@ def extract_correct(pages: ray.data.Dataset, *, corrector: CorrectorKind = "null
     ds = pages
     committed: frozenset[int] = frozenset()
     if out_dir is not None and resume:
+        lin.check_partition_scheme(out_dir)
         committed = lin.committed_partitions(out_dir)
         if committed:
             ds = ds.map_batches(make_committed_filter(committed, num_partitions),

@@ -74,7 +74,11 @@ def epoch_feed(corpus: ray.data.Dataset, *, alphabet: str,
             messy_col: batch.column(messy_col),
             clean_col: batch.column(clean_col)})
 
-    keyed_ds = corpus.map_batches(keyed, batch_format="pyarrow")
+    # exact batching needs TWO passes over the keyed projection (count, then
+    # rank); materialize it once into the object store so the upstream corpus
+    # pipeline (read + extraction + noise) is not re-executed for pass 2 —
+    # blocks live/spill in the object store, never on the driver
+    keyed_ds = corpus.map_batches(keyed, batch_format="pyarrow").materialize()
 
     # pass 1: rows per key range → prefix offsets (tiny driver reduce)
     def count_partial(batch: pa.Table) -> pa.Table:

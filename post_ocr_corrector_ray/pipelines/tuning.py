@@ -39,13 +39,17 @@ def dictionary_min_frequency_sweep(
     percent_perfect, n, is_best)."""
     import ray
 
-    counts = token_counts(corpus, text_col=clean_col, split=train_split)
+    # ONE distributed (token, frequency) aggregate, materialized (small —
+    # vocabulary-sized) and consumed twice: the sweep grid comes from the
+    # distributed partial-max (A4 path, never collects the vocab) and the
+    # broadcast correction dict streams out of the same result
+    counts = token_counts(corpus, text_col=clean_col,
+                          split=train_split).materialize()
+    options = min_frequency_sweep_options(max_token_frequency(counts))
     vocab: dict[str, int] = {}
     for batch in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
         vocab.update(zip(batch.column("token").to_pylist(),
                          (int(f) for f in batch.column("frequency").to_pylist())))
-    max_freq = max(vocab.values(), default=0)
-    options = min_frequency_sweep_options(max_freq)
     vocab_ref = ray.put(vocab)
 
     def _score(split: str, min_frequency: int):

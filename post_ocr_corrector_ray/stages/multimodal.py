@@ -34,6 +34,8 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 FEATURE_DIM = 16
+_MAX_SANE_FRAMES = 10_000_000   # > 46 days at 2.5 fps — anything above is corrupt
+_MAX_SANE_DIM = 65_536
 
 
 def sniff_kind(payload: bytes) -> str:
@@ -66,6 +68,12 @@ def parse_avi_header(payload: bytes) -> dict:
             usec = struct.unpack("<I", body[0:4])[0]
             total = struct.unpack("<I", body[16:20])[0]
             w, h = struct.unpack("<II", body[32:40])
+            # hostile/corrupt headers: uint32 fields can exceed any sane
+            # bound (and int32 Arrow columns) — treat absurd values as an
+            # unparseable header rather than crashing the batch
+            if (total > _MAX_SANE_FRAMES or w > _MAX_SANE_DIM
+                    or h > _MAX_SANE_DIM):
+                return {}
             fps = 1e6 / usec if usec else 0.0
             return {"width": w, "height": h, "n_frames": total, "fps": fps,
                     "duration_s": total * usec / 1e6}
@@ -199,13 +207,19 @@ class MediaResizeStage:
 
 
 def frame_sample_batch(batch: pa.Table, *, every_n: int = 10,
+                       max_frames_per_video: int = 100_000,
                        payload_col: str = "payload",
                        id_col: str = "media_id") -> pa.Table:
     """Video frame sampling: explode each video row into every-Nth-frame rows
     (frame index + timestamp from the REAL avih header; per-frame feature is
     the content+frame-keyed stub).  Non-video rows produce no output rows —
-    the flat-map shape of a real frame extractor."""
-    ids_out, fidx_out, ts_out, feat_out = [], [], [], []
+    the flat-map shape of a real frame extractor.
+
+    ``max_frames_per_video`` bounds the per-row explosion (a corrupt header
+    cannot OOM a task); the cap is NOT silent — every output row carries
+    ``n_frames_total``, so a consumer sees ``max(frame_idx) < n_frames_total``
+    whenever truncation happened."""
+    ids_out, fidx_out, ts_out, total_out, feat_out = [], [], [], [], []
     for mid, payload in zip(batch.column(id_col).to_pylist(),
                             batch.column(payload_col).to_pylist()):
         payload = payload or b""
@@ -213,10 +227,11 @@ def frame_sample_batch(batch: pa.Table, *, every_n: int = 10,
             continue
         meta = parse_avi_header(payload)
         n, fps = int(meta.get("n_frames", 0)), meta.get("fps", 0.0)
-        for f in range(0, n, every_n):
+        for f in range(0, min(n, max_frames_per_video * every_n), every_n):
             ids_out.append(mid)
             fidx_out.append(f)
             ts_out.append(f / fps if fps else 0.0)
+            total_out.append(n)
             feat_out.append(sample_pixels(
                 payload, np.full(FEATURE_DIM, f, dtype=np.uint64),
                 np.arange(FEATURE_DIM, dtype=np.uint64), fake=True)
@@ -225,6 +240,7 @@ def frame_sample_batch(batch: pa.Table, *, every_n: int = 10,
         id_col: pa.array(ids_out, pa.int64()),
         "frame_idx": pa.array(fidx_out, pa.int32()),
         "t_s": pa.array(ts_out, pa.float64()),
+        "n_frames_total": pa.array(total_out, pa.int32()),
         # float32-LE bytes (not list<float>): hashable/sortable for the
         # driver's canonical row compare; np.frombuffer to consume
         "frame_feature": pa.array(feat_out, pa.binary()),

@@ -9,11 +9,16 @@ lineage + metrics")::
         _SUCCESS.json      # commit marker + lineage + metrics (written LAST)
 
 A partition is committed iff its ``_SUCCESS.json`` exists.  Partition
-assignment is ``stable_hash_u64(url) % num_partitions`` — a pure function of
-row content, so a resumed run (any cluster size, any block layout) reproduces
-the identical partition sets and can skip committed ones before doing any
-expensive work.  There is no central manifest to corrupt: the marker files ARE
-the manifest, and the tmp→rename protocol makes each commit atomic on POSIX.
+assignment is ``polyhash_u64(url) % num_partitions`` (functions/hashing.py —
+vectorized polynomial hash) — a pure function of row content, so a resumed
+run (any cluster size, any block layout) reproduces the identical partition
+sets and can skip committed ones before doing any expensive work.  There is
+no central manifest to corrupt: the marker files ARE the manifest, and the
+tmp→rename protocol makes each commit atomic on POSIX.
+
+The hash function IS the resume contract: every marker records
+``partition_scheme`` and resume refuses (loudly) to mix schemes — a store
+written under a different hash would otherwise silently drop/duplicate rows.
 
 Lineage recorded per partition: input fileset fingerprint, row/url counts,
 url-hash range, stage versions, wall-clock, and arbitrary caller metrics.
@@ -32,6 +37,25 @@ import pyarrow.parquet as pq
 from .. import __version__
 
 SUCCESS_NAME = "_SUCCESS.json"
+
+# Version tag of the url→partition hash.  Bump whenever partition_of changes;
+# round-2 moved from blake2b ("blake2b-v1", implicit/absent in old markers)
+# to the vectorized polynomial hash.
+PARTITION_SCHEME = "polyhash-v2"
+
+
+def check_partition_scheme(out_dir: str) -> None:
+    """Refuse to resume over partitions committed under a different url-hash
+    scheme: the partition ids would not correspond to the same url sets, so a
+    'resume' would silently drop some urls and duplicate others."""
+    for rec in read_lineage(out_dir):
+        scheme = rec.get("partition_scheme", "blake2b-v1")
+        if scheme != PARTITION_SCHEME:
+            raise ValueError(
+                f"{out_dir} partition {rec['partition']} was committed under "
+                f"partition_scheme={scheme!r} but this engine uses "
+                f"{PARTITION_SCHEME!r}; resuming would corrupt the output. "
+                f"Re-run with resume=False (or a fresh out_dir).")
 
 
 def fingerprint_inputs(paths: list[str] | str) -> str:
@@ -97,6 +121,7 @@ def commit_partition(table: pa.Table, out_dir: str, part_id: int, *,
     os.replace(tmp, os.path.join(pdir, f"data.{data_format}"))
     record = {
         "partition": part_id,
+        "partition_scheme": PARTITION_SCHEME,
         "data_format": data_format,
         "n_rows": table.num_rows,
         "engine_version": __version__,
@@ -131,7 +156,10 @@ def commit_by_key(ds, out_dir: str, *, key_col: str,
 
     from ..functions.hashing import partition_of_array
 
-    committed = committed_partitions(out_dir) if resume else frozenset()
+    committed: frozenset[int] = frozenset()
+    if resume:
+        check_partition_scheme(out_dir)
+        committed = committed_partitions(out_dir)
 
     def add_part(batch: pa.Table) -> pa.Table:
         parts = partition_of_array(batch.column(key_col).cast(pa.string()),

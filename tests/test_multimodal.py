@@ -161,3 +161,42 @@ class TestGarbageRobustness:
         assert thumbs.num_rows == len(payloads)
         frames = mm.frame_sample_batch(batch)
         assert frames.num_rows >= 0  # no crash; truncated avih yields no rows
+
+
+class TestHostileHeaders:
+    def _avi_with(self, total_frames, w=320, h=240, usec=40000):
+        import struct
+
+        avih_body = struct.pack("<IIIIIIII", usec, 0, 0, 0, total_frames,
+                                0, 1, 0) + struct.pack("<II", w, h) + b"\x00" * 16
+        avih = b"avih" + struct.pack("<I", len(avih_body)) + avih_body
+        hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+        body = b"AVI " + hdrl
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_uint32_overflow_frames_treated_as_corrupt(self):
+        import pyarrow as pa
+
+        from post_ocr_corrector_ray.stages import multimodal as mm
+
+        hostile = self._avi_with(0xFFFFFFFF)
+        assert mm.parse_avi_header(hostile) == {}
+        batch = pa.table({"media_id": pa.array([1], pa.int64()),
+                          "payload": pa.array([hostile], pa.binary())})
+        meta = mm.MediaMetadataStage()(batch)      # must not raise ArrowInvalid
+        assert meta.column("n_frames")[0].as_py() is None
+        assert mm.frame_sample_batch(batch).num_rows == 0
+
+    def test_frame_cap_is_observable(self):
+        import pyarrow as pa
+
+        from post_ocr_corrector_ray.stages import multimodal as mm
+
+        big = self._avi_with(1_000)
+        batch = pa.table({"media_id": pa.array([1], pa.int64()),
+                          "payload": pa.array([big], pa.binary())})
+        out = mm.frame_sample_batch(batch, every_n=10, max_frames_per_video=20)
+        assert out.num_rows == 20                     # capped
+        assert out.column("n_frames_total")[0].as_py() == 1_000
+        # truncation visible: last sampled idx << total
+        assert max(out.column("frame_idx").to_pylist()) < 1_000 - 10

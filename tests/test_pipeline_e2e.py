@@ -263,3 +263,28 @@ class TestCommitByKey:
                            num_partitions=8).to_pandas()
         assert len(s3) == 1
         assert lin.read_output(out).num_rows == 100
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPartitionSchemeGuard:
+    def test_foreign_scheme_resume_refused(self, pages_file, tmp_path):
+        import json
+
+        import ray.data
+
+        out = str(tmp_path / "legacy")
+        extract_correct(ray.data.read_parquet(pages_file), corrector="null",
+                        out_dir=out, num_partitions=4).to_pandas()
+        # forge one marker as a legacy/blake2b-era commit
+        mpath = os.path.join(lin.partition_dir(out, sorted(
+            lin.committed_partitions(out))[0]), lin.SUCCESS_NAME)
+        rec = json.load(open(mpath))
+        rec.pop("partition_scheme")
+        json.dump(rec, open(mpath, "w"))
+        with pytest.raises(ValueError, match="partition_scheme"):
+            extract_correct(ray.data.read_parquet(pages_file), corrector="null",
+                            out_dir=out, num_partitions=4)
+        # resume=False bypasses (fresh recompute over the same dir is allowed)
+        extract_correct(ray.data.read_parquet(pages_file), corrector="null",
+                        out_dir=out, num_partitions=4, resume=False).to_pandas()
+        assert lin.read_output(out).num_rows == N_PAGES

@@ -300,3 +300,22 @@ class TestBpeAndScrub:
         assert got[0] == "mail me at <EMAIL> now"
         assert got[1] == "card <NUM>"
         assert got[2] == "clean"
+
+
+class TestJaccardSpecEquivalence:
+    def test_signature_jaccard_equals_text_jaccard(self):
+        """The distributed verify scores serialized signatures; the text-based
+        helpers are the semantic spec — both must agree exactly."""
+        from post_ocr_corrector_ray.functions.hashing import (
+            shingle_hashes, word_ngram_hashes)
+
+        pairs = [("the quick brown fox jumps", "the quick brown fox jumped"),
+                 ("aaaa", "aaab"), ("", ""), ("x", ""), ("same", "same")]
+        for a, b in pairs:
+            assert dd.jaccard_from_signatures(
+                dd.signature_bytes(shingle_hashes(a, k=5)),
+                dd.signature_bytes(shingle_hashes(b, k=5))) == dd._jaccard(a, b, 5)
+            assert dd.jaccard_from_signatures(
+                dd.signature_bytes(word_ngram_hashes(a, n=3)),
+                dd.signature_bytes(word_ngram_hashes(b, n=3))) == \
+                dd.word_ngram_jaccard(a, b, 3)
