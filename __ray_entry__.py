@@ -226,6 +226,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": lambda sf: R.events_sessions(sf),
         "events_user_rolling": lambda sf: R.events_user_rolling(sf),
         "events_value_lag": R.events_value_lag,
+        "events_asof_orders": R.events_asof_orders,
+        "orders_event_window_counts": lambda sf: R.orders_event_window_counts(sf),
+        "doc_length_quantiles": D.doc_length_quantiles,
     }
 
 
@@ -609,6 +612,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(new_s) AS BIGINT) AS n_sessions
             FROM marks GROUP BY user_id""",
+        # as-of semantics spelled out instead of ASOF JOIN so the equal-date
+        # tie-break (max orderkey) is explicit and deterministic
+        "events_asof_orders": """
+            WITH m AS (
+              SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+                     row_number() OVER (PARTITION BY e.event_id
+                                        ORDER BY o.o_orderdate DESC,
+                                                 o.o_orderkey DESC) AS rn
+              FROM events e JOIN orders o
+                ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+            SELECT e.event_id, e.user_id,
+                   CAST(m.o_orderkey AS DOUBLE) AS asof_orderkey,
+                   CAST(m.o_totalprice AS DOUBLE) AS asof_totalprice
+            FROM events e
+            LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)""",
+        "orders_event_window_counts": """
+            SELECT o.o_orderkey, CAST(count(e.user_id) AS BIGINT) AS n_events
+            FROM orders o LEFT JOIN events e
+              ON e.user_id = o.o_custkey
+             AND e.ts >= o.o_orderdate
+             AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+            GROUP BY o.o_orderkey""",
+        "doc_length_quantiles": """
+            SELECT unnest([0.1,0.25,0.5,0.75,0.9,0.99]) AS q,
+                   unnest(quantile_disc(n_chars, [0.1,0.25,0.5,0.75,0.9,0.99]))
+                   AS value
+            FROM documents""",
     }
     # the IVF oracle inlines centroids derived from the driver's sf0.01
     # correctness fixture; if that fixture is absent (other deployments),

@@ -290,3 +290,13 @@ def doc_markup_roundtrip(sf_dir: str) -> ray.data.Dataset:
                          "sentence": batch.column("sentence")})
 
     return parsed.map_batches(project, batch_format="pyarrow")
+
+
+def doc_length_quantiles(sf_dir: str) -> pa.Table:
+    """Exact discrete quantiles of document length (n_chars): mergeable
+    value-histogram partials → coarse-partitioned sum → tiny driver cumsum
+    (stages/quantiles.py).  DuckDB ``quantile_disc`` oracle."""
+    from ..stages.quantiles import exact_quantiles
+
+    return exact_quantiles(_docs(sf_dir, ["n_chars"]), "n_chars",
+                           [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])

@@ -292,3 +292,48 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     out["n_events"] = out["n_events"].astype("int64")
     out["n_sessions"] = out["n_sessions"].astype("int64")
     return pa.Table.from_pandas(out.sort_values("user_id"), preserve_index=False)
+
+
+def events_asof_orders(sf_dir: str) -> ray.data.Dataset:
+    """As-of join (SURVEY §2.9 "custom operators"): each event picks up the
+    same user's most recent order at-or-before the event time (ties on order
+    date broken by max orderkey — pinned so every block layout and the SQL
+    oracle's row_number() ordering agree).  ONE co-partitioning shuffle,
+    vectorized pandas merge_asof per partition (stages/joins.py)."""
+    from ..stages.joins import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    joined = asof_join(
+        events, orders, on="ts", by="user_id",
+        right_on="o_orderdate", right_by="o_custkey",
+        right_cols={"o_orderkey": "asof_orderkey",
+                    "o_totalprice": "asof_totalprice"},
+        tie_col="o_orderkey")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        # DOUBLE on both sides: no-match rows are null, and a nullable int64
+        # round-trips as float anyway — pin the type instead of leaving it
+        # layout-dependent (oracle CASTs to DOUBLE identically)
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "asof_orderkey": df["asof_orderkey"].astype("float64"),
+            "asof_totalprice": df["asof_totalprice"].astype("float64")})
+
+    return joined.map_batches(project, batch_format="pandas")
+
+
+def orders_event_window_counts(sf_dir: str, window_days: int = 7) -> ray.data.Dataset:
+    """Range-join count: per order, how many of the same user's events fall in
+    [o_orderdate, o_orderdate + window).  Vectorized interval join — composite
+    searchsorted axis, no pair materialization (stages/joins.py)."""
+    from ..stages.joins import interval_count_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    events = _read(sf_dir, "events", ["user_id", "ts"])
+    return interval_count_join(
+        orders, events, left_key="o_custkey", left_id="o_orderkey",
+        left_start="o_orderdate", right_key="user_id", right_ts="ts",
+        window=np.timedelta64(window_days, "D"), out_count="n_events")

@@ -1,0 +1,181 @@
+"""Two-sided co-partitioned temporal joins: as-of and interval (range) join.
+
+Ray Data has no native as-of or range join (SURVEY §2's "custom operators"
+note).  Both are expressed here as ONE co-partitioning shuffle: tag each side,
+harmonize the two schemas (null-pad the other side's columns), ``union`` the
+datasets, coarse-hash-partition on the equality key (stages/shuffle.py — a
+fixed number of Ray groups regardless of key cardinality), and run the
+vectorized merge inside each partition.
+
+Partitioning assumption (document per the engine contract): every row of one
+equality key lands in exactly one partition — guaranteed by the deterministic
+key hash — so the per-partition merge is exact.  A pathologically hot key
+bounds a single task's memory; ``num_partitions`` spreads distinct keys but
+not one key's rows (the same skew contract as ``grouped_apply``).
+
+Determinism: as-of ties (several right rows sharing the maximal ``on`` value)
+are broken by ``tie_col`` (maximum wins) so results are reproducible across
+block layouts and match the SQL oracle's explicit ``row_number()`` ordering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .shuffle import DEFAULT_PARTITIONS, grouped_apply
+
+_SIDE = "_side"
+
+
+def _pad_to(schema: pa.Schema, side: int):
+    """Batch fn: project/null-pad an input batch onto the harmonized union
+    schema and stamp the side tag."""
+
+    def pad(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for f in schema:
+            if f.name == _SIDE:
+                cols[f.name] = pa.array(np.full(n, side, dtype=np.int8), pa.int8())
+            elif f.name in batch.column_names:
+                cols[f.name] = batch.column(f.name).cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(n, f.type)
+        return pa.table(cols)
+
+    return pad
+
+
+def _union_tagged(left: ray.data.Dataset, right: ray.data.Dataset,
+                  right_renames: dict[str, str]) -> tuple[ray.data.Dataset, list[str], list[str]]:
+    """Rename the right side's columns, build the harmonized schema, and union
+    the two tagged datasets.  Returns (union_ds, left_cols, right_cols)."""
+    right = right.rename_columns(right_renames)
+    ls, rs = left.schema(), right.schema()
+    left_cols = list(ls.names)
+    right_cols = [c for c in rs.names if c not in left_cols]
+    # integer columns unique to one side are null on the other side's rows;
+    # pandas blocks would then flip int64/float64 per block (mixed-schema
+    # RefBundle warnings + dtype drift), so pin them float64 in the union —
+    # consumers restore the int dtype after the merge (exact below 2**53)
+    shared = set(ls.names) & set(rs.names)
+
+    def _utype(name: str, t: pa.DataType) -> pa.DataType:
+        return pa.float64() if (name not in shared
+                                and pa.types.is_integer(t)) else t
+
+    fields = [pa.field(_SIDE, pa.int8())]
+    fields += [pa.field(n, _utype(n, t)) for n, t in zip(ls.names, ls.types)]
+    fields += [pa.field(n, _utype(n, rs.types[rs.names.index(n)]))
+               for n in right_cols]
+    schema = pa.schema(fields)
+    tagged_l = left.map_batches(_pad_to(schema, 0), batch_format="pyarrow")
+    tagged_r = right.map_batches(_pad_to(schema, 1), batch_format="pyarrow")
+    return tagged_l.union(tagged_r), left_cols, right_cols
+
+
+def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+              on: str, by: str, right_on: str, right_by: str,
+              right_cols: dict[str, str], tie_col: str,
+              num_partitions: int = DEFAULT_PARTITIONS) -> ray.data.Dataset:
+    """LEFT as-of join: for each left row, attach the right row with the
+    greatest ``right_on`` ≤ left ``on`` for the same key (backward as-of,
+    exact matches allowed); no match → nulls.
+
+    ``right_cols`` maps right column → output name; ``tie_col`` (a right
+    column, also listed in ``right_cols`` or not) breaks equal-``on`` ties by
+    maximum.  Output = every left column + the renamed right columns.
+    """
+    renames = {right_by: by, right_on: on}
+    keep = [right_by, right_on] + [c for c in right_cols if c not in (right_by, right_on)]
+    if tie_col not in keep:
+        keep.append(tie_col)
+    right = right.select_columns(keep)
+    tie_out = right_cols.get(tie_col, tie_col)
+    renames.update({src: dst for src, dst in right_cols.items()
+                    if src not in (right_by, right_on)})
+    if tie_col not in right_cols and tie_col not in (right_by, right_on):
+        renames[tie_col] = tie_out
+    both, left_cols, extra_cols = _union_tagged(left, right, renames)
+    out_right = [right_cols[c] for c in right_cols if c not in (right_by, right_on)]
+    # null-padding integer columns through the union makes them float in
+    # pandas; left-side values are never null there, so restoring the
+    # original left dtypes after the merge is exact
+    left_dtypes = {n: t.to_pandas_dtype() for n, t in
+                   zip(left.schema().names, left.schema().types)
+                   if pa.types.is_integer(t)}
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df[_SIDE] == 0][left_cols].sort_values(on, kind="mergesort")
+        # right: sort by (on, tie) so merge_asof's take-last-duplicate rule
+        # resolves equal-`on` ties to the max tie_col
+        r = df[df[_SIDE] == 1][[by, on] + sorted(set(extra_cols))].sort_values(
+            [on, tie_out], kind="mergesort")
+        if l.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="float64")
+                                 for c in left_cols + out_right})
+        l = l.astype(left_dtypes)
+        r = r.astype({by: left_dtypes[by]} if by in left_dtypes else {})
+        out = pd.merge_asof(l, r[[by, on] + out_right], on=on, by=by,
+                            direction="backward", allow_exact_matches=True)
+        return out
+
+    return grouped_apply(both, [by], merge, num_partitions=num_partitions)
+
+
+def interval_count_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                        left_key: str, left_id: str, left_start: str,
+                        right_key: str, right_ts: str,
+                        window: np.timedelta64,
+                        out_count: str = "n_in_window",
+                        num_partitions: int = DEFAULT_PARTITIONS) -> ray.data.Dataset:
+    """Range-join COUNT: for each left row, the number of right rows with the
+    same key and ``right_ts`` in ``[left_start, left_start + window)``.  Left
+    rows with no matching key count 0 (LEFT-join semantics).
+
+    Per-partition algorithm is fully vectorized — no per-row loop and no pair
+    materialization: right timestamps are lex-sorted by (key-index, ts) into a
+    single composite int64 axis, and each left interval becomes two
+    ``np.searchsorted`` probes whose difference is the count.  The composite
+    fits int64 while ``keys_in_partition × ts_range_us < 2**63`` (centuries of
+    span for millions of per-partition keys); a wider layout would switch to
+    per-key offset slicing."""
+    lcols = [left_id, left_key, left_start]
+    right = right.select_columns([right_key, right_ts])
+    renames = {right_key: left_key, right_ts: "_rts"}
+    both, _, _ = _union_tagged(left.select_columns(lcols), right, renames)
+    win_us = int(window / np.timedelta64(1, "us"))
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df[_SIDE] == 0]
+        if l.empty:
+            return pd.DataFrame({left_id: pd.Series([], dtype="int64"),
+                                 out_count: pd.Series([], dtype="int64")})
+        r = df[df[_SIDE] == 1]
+        t0 = l[left_start].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if r.empty:
+            return pd.DataFrame({left_id: l[left_id].astype("int64").to_numpy(),
+                                 out_count: np.zeros(len(l), dtype=np.int64)})
+        rts = r["_rts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        rkey = r[left_key].to_numpy()
+        lkey = l[left_key].to_numpy()
+        keys = np.unique(np.concatenate([rkey, lkey]))
+        base = min(int(rts.min()), int(t0.min()))
+        span = max(int(rts.max()), int(t0.max() + win_us)) - base + 2
+        if len(keys) * span >= 2**63:        # composite would overflow
+            raise OverflowError("interval_count_join: key×span layout too "
+                                "wide for the composite axis")
+        rk = np.searchsorted(keys, rkey).astype(np.int64)
+        comp = np.sort(rk * span + (rts - base))
+        lk = np.searchsorted(keys, lkey).astype(np.int64)
+        lo = lk * span + np.clip(t0 - base, 0, span - 1)
+        hi = lk * span + np.clip(t0 + win_us - base, 0, span - 1)
+        n = np.searchsorted(comp, hi) - np.searchsorted(comp, lo)
+        return pd.DataFrame({left_id: l[left_id].astype("int64").to_numpy(),
+                             out_count: n.astype(np.int64)})
+
+    return grouped_apply(both, [left_key], count, num_partitions=num_partitions)

@@ -1,0 +1,155 @@
+"""As-of join, interval (range) join, and exact distributed quantiles —
+the custom operators Ray Data lacks (stages/joins.py, stages/quantiles.py).
+
+Coverage the SQL-oracle gate doesn't reach: LEFT-join nulls for keyless rows,
+the equal-timestamp tie-break, invariance to partition count and block
+layout, the composite-axis overflow guard, and quantile agreement with a
+single-process sorted-array spec on random data."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from post_ocr_corrector_ray.stages.joins import asof_join, interval_count_join
+from post_ocr_corrector_ray.stages.quantiles import exact_quantiles
+
+
+def _ts(s: str) -> np.datetime64:
+    return np.datetime64(s, "us")
+
+
+def _events(rows):
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([_ts(r[2]).item() for r in rows], pa.timestamp("us"))})
+
+
+def _orders(rows):
+    return pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+        "o_orderdate": pa.array([_ts(r[2]).item() for r in rows],
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([r[3] for r in rows], pa.float64())})
+
+
+def _run_asof(events, orders, **kw):
+    import ray.data
+
+    out = asof_join(ray.data.from_arrow(events), ray.data.from_arrow(orders),
+                    on="ts", by="user_id", right_on="o_orderdate",
+                    right_by="o_custkey",
+                    right_cols={"o_orderkey": "k", "o_totalprice": "p"},
+                    tie_col="o_orderkey", **kw).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAsofJoin:
+    def test_backward_pick_and_left_nulls(self):
+        ev = _events([(1, 7, "2024-01-10T00:00:00"),
+                      (2, 7, "2024-01-01T00:00:00"),   # before any order
+                      (3, 9, "2024-01-10T00:00:00")])  # user with no orders
+        od = _orders([(100, 7, "2024-01-05T00:00:00", 10.0),
+                      (101, 7, "2024-01-09T00:00:00", 20.0),
+                      (102, 7, "2024-01-11T00:00:00", 30.0)])
+        out = _run_asof(ev, od)
+        assert out.loc[0, "k"] == 101          # latest ≤ ts
+        assert math.isnan(out.loc[1, "k"])     # no order yet
+        assert math.isnan(out.loc[2, "k"])     # keyless user
+        assert out["event_id"].tolist() == [1, 2, 3]
+
+    def test_exact_match_allowed_and_tie_break_max_key(self):
+        ev = _events([(1, 7, "2024-01-05T00:00:00")])
+        od = _orders([(100, 7, "2024-01-05T00:00:00", 10.0),
+                      (250, 7, "2024-01-05T00:00:00", 20.0),
+                      (180, 7, "2024-01-05T00:00:00", 30.0)])
+        out = _run_asof(ev, od)
+        assert out.loc[0, "k"] == 250          # max orderkey among equal dates
+        assert out.loc[0, "p"] == 20.0
+
+    def test_partition_count_invariance(self):
+        rng = np.random.default_rng(0)
+        ev = _events([(i, int(rng.integers(0, 5)),
+                       f"2024-01-{int(rng.integers(1, 28)):02d}T03:00:00")
+                      for i in range(60)])
+        od = _orders([(i, i % 6, f"2024-01-{(i % 27) + 1:02d}T00:00:00",
+                       float(i)) for i in range(40)])
+        a = _run_asof(ev, od, num_partitions=1)
+        b = _run_asof(ev, od, num_partitions=16)
+        pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIntervalCountJoin:
+    def _run(self, orders, events, **kw):
+        import ray.data
+
+        out = interval_count_join(
+            ray.data.from_arrow(orders), ray.data.from_arrow(events),
+            left_key="o_custkey", left_id="o_orderkey",
+            left_start="o_orderdate", right_key="user_id", right_ts="ts",
+            window=np.timedelta64(7, "D"), out_count="n", **kw).to_pandas()
+        return out.sort_values("o_orderkey").reset_index(drop=True)
+
+    def test_window_semantics_vs_pandas(self):
+        rng = np.random.default_rng(1)
+        ev = _events([(i, int(rng.integers(0, 4)),
+                       f"2024-01-{int(rng.integers(1, 28)):02d}T"
+                       f"{int(rng.integers(0, 24)):02d}:00:00")
+                      for i in range(200)])
+        od = _orders([(i, i % 5, f"2024-01-{(i % 27) + 1:02d}T12:00:00", 0.0)
+                      for i in range(30)])
+        got = self._run(od, ev)
+        e, o = ev.to_pandas(), od.to_pandas()
+        want = []
+        for _, r in o.iterrows():
+            m = e[(e.user_id == r.o_custkey) & (e.ts >= r.o_orderdate)
+                  & (e.ts < r.o_orderdate + pd.Timedelta(days=7))]
+            want.append((r.o_orderkey, len(m)))
+        want = pd.DataFrame(want, columns=["o_orderkey", "n"]).sort_values(
+            "o_orderkey").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert (got["n"] == 0).any()           # keyless orders count 0
+
+    def test_composite_overflow_guard(self):
+        # keys × span must exceed 2^63: a 1970→2262 span is ~9.2e15 us, so
+        # ~1100 distinct keys in ONE partition pushes the composite past the
+        # limit and the guard must raise instead of wrapping silently
+        n = 1100
+        od2 = _orders([(i, i, "2262-01-01T00:00:00", 0.0) for i in range(n)])
+        ev2 = _events([(i, i, "1970-01-02T00:00:00") for i in range(n)])
+        import ray.data
+        with pytest.raises(Exception, match="(?i)overflow|too *wide"):
+            interval_count_join(
+                ray.data.from_arrow(od2), ray.data.from_arrow(ev2),
+                left_key="o_custkey", left_id="o_orderkey",
+                left_start="o_orderdate", right_key="user_id", right_ts="ts",
+                window=np.timedelta64(7, "D"), num_partitions=1).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExactQuantiles:
+    def test_matches_sorted_array_spec(self):
+        import ray.data
+
+        rng = np.random.default_rng(2)
+        vals = rng.integers(0, 97, size=1777)
+        ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+        qs = [0.0, 0.1, 0.5, 0.9, 0.999, 1.0]
+        out = exact_quantiles(ds, "v", qs).to_pandas()
+        sv = np.sort(vals)
+        for q, v in zip(out["q"], out["value"]):
+            assert v == sv[max(1, math.ceil(q * len(sv))) - 1]
+
+    def test_nulls_ignored(self):
+        import ray.data
+
+        ds = ray.data.from_arrow(pa.table(
+            {"v": pa.array([None, 5, None, 1, 9], pa.int64())}))
+        out = exact_quantiles(ds, "v", [0.5]).to_pandas()
+        assert out["value"].tolist() == [5]
