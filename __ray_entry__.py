@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_lag": R.events_value_lag,
         "events_asof_orders": R.events_asof_orders,
         "orders_event_window_counts": lambda sf: R.orders_event_window_counts(sf),
+        "orders_topk_per_customer": lambda sf: R.orders_topk_per_customer(sf),
         "doc_length_quantiles": D.doc_length_quantiles,
     }
 
@@ -634,6 +635,14 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts >= o.o_orderdate
              AND e.ts < o.o_orderdate + INTERVAL 7 DAY
             GROUP BY o.o_orderkey""",
+        "orders_topk_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     CAST(row_number() OVER (
+                          PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey DESC)
+                          AS BIGINT) AS rnk
+              FROM orders) WHERE rnk <= 3""",
         "doc_length_quantiles": """
             SELECT unnest([0.1,0.25,0.5,0.75,0.9,0.99]) AS q,
                    unnest(quantile_disc(n_chars, [0.1,0.25,0.5,0.75,0.9,0.99]))

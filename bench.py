@@ -90,6 +90,8 @@ def run_benchmarks() -> dict:
         "doc_fingerprint", "doc_token_count_bpe", "doc_scrub_pii",
         "events_user_rolling", "events_value_lag", "training_feed",
         "dictionary_sweep", "doc_null_corrector_cer",
+        "events_asof_orders", "orders_event_window_counts",
+        "orders_topk_per_customer", "doc_length_quantiles",
     ]
     qs = entry.queries()
     for name in bench_queries:

@@ -337,3 +337,24 @@ def orders_event_window_counts(sf_dir: str, window_days: int = 7) -> ray.data.Da
         orders, events, left_key="o_custkey", left_id="o_orderkey",
         left_start="o_orderdate", right_key="user_id", right_ts="ts",
         window=np.timedelta64(window_days, "D"), out_count="n_events")
+
+
+def orders_topk_per_customer(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Grouped top-k (ROW_NUMBER window family): each customer's k most
+    expensive orders with their rank.  Coarse hash-partition by customer →
+    vectorized sort + cumcount inside the partition — group cardinality never
+    becomes Ray group count, and only ≤ k rows per key survive the stage.
+    Rank order is pinned (price DESC, orderkey DESC) so ties are
+    deterministic across block layouts and match the oracle."""
+    from ..stages.shuffle import grouped_apply
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, False], kind="mergesort")
+        rnk = df.groupby("o_custkey").cumcount().to_numpy() + 1
+        out = df.assign(rnk=rnk.astype(np.int64))
+        return out[out["rnk"] <= k]
+
+    return grouped_apply(orders, ["o_custkey"], topk)
