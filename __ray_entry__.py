@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_event_window_counts": lambda sf: R.orders_event_window_counts(sf),
         "orders_topk_per_customer": lambda sf: R.orders_topk_per_customer(sf),
         "doc_length_quantiles": D.doc_length_quantiles,
+        "doc_stratified_sample": D.doc_stratified_sample,
     }
 
 
@@ -643,6 +644,12 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY o_totalprice DESC, o_orderkey DESC)
                           AS BIGINT) AS rnk
               FROM orders) WHERE rnk <= 3""",
+        # threshold 1073741824 = floor(0.25 × 2^32), engine-identical integer
+        "doc_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT)
+                  < CASE lang WHEN 'en' THEN 1073741824 ELSE 4294967296 END""",
         "doc_length_quantiles": """
             SELECT unnest([0.1,0.25,0.5,0.75,0.9,0.99]) AS q,
                    unnest(quantile_disc(n_chars, [0.1,0.25,0.5,0.75,0.9,0.99]))

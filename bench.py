@@ -92,6 +92,7 @@ def run_benchmarks() -> dict:
         "dictionary_sweep", "doc_null_corrector_cer",
         "events_asof_orders", "orders_event_window_counts",
         "orders_topk_per_customer", "doc_length_quantiles",
+        "doc_stratified_sample",
     ]
     qs = entry.queries()
     for name in bench_queries:

@@ -153,3 +153,27 @@ class TestExactQuantiles:
             {"v": pa.array([None, 5, None, 1, 9], pa.int64())}))
         out = exact_quantiles(ds, "v", [0.5]).to_pandas()
         assert out["value"].tolist() == [5]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStratifiedSample:
+    def test_rates_and_layout_invariance(self):
+        import ray.data
+
+        from post_ocr_corrector_ray.stages.sampling import stratified_sample
+
+        n = 4000
+        t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                      "lang": pa.array(["en" if i % 2 else "de"
+                                        for i in range(n)], pa.string())})
+        kw = dict(fracs={"en": 0.25}, default_frac=1.0,
+                  strat_col="lang", id_col="doc_id")
+        a = stratified_sample(ray.data.from_arrow(t), **kw).to_pandas()
+        # de untouched, en ~25% (binomial tolerance)
+        assert (a[a.lang == "de"].shape[0]) == n // 2
+        en = a[a.lang == "en"].shape[0]
+        assert 0.18 * n / 2 < en < 0.32 * n / 2
+        # content-keyed: identical keep-set under a different block layout
+        b = stratified_sample(
+            ray.data.from_arrow(t).repartition(13), **kw).to_pandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])
