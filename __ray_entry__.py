@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_topk_per_customer": lambda sf: R.orders_topk_per_customer(sf),
         "doc_length_quantiles": D.doc_length_quantiles,
         "doc_stratified_sample": D.doc_stratified_sample,
+        "lineitem_order_priority": R.lineitem_order_priority,
+        "customers_without_events": R.customers_without_events,
     }
 
 
@@ -644,6 +646,14 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY o_totalprice DESC, o_orderkey DESC)
                           AS BIGINT) AS rnk
               FROM orders) WHERE rnk <= 3""",
+        "lineitem_order_priority": """
+            SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+                   o.o_orderpriority
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey""",
+        "customers_without_events": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = c.c_custkey)""",
         # threshold 1073741824 = floor(0.25 × 2^32), engine-identical integer
         "doc_stratified_sample": """
             SELECT doc_id, lang FROM documents

@@ -92,7 +92,8 @@ def run_benchmarks() -> dict:
         "dictionary_sweep", "doc_null_corrector_cer",
         "events_asof_orders", "orders_event_window_counts",
         "orders_topk_per_customer", "doc_length_quantiles",
-        "doc_stratified_sample",
+        "doc_stratified_sample", "lineitem_order_priority",
+        "customers_without_events",
     ]
     qs = entry.queries()
     for name in bench_queries:

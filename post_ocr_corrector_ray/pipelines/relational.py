@@ -358,3 +358,26 @@ def orders_topk_per_customer(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         return out[out["rnk"] <= k]
 
     return grouped_apply(orders, ["o_custkey"], topk)
+
+
+def lineitem_order_priority(sf_dir: str) -> ray.data.Dataset:
+    """Fact-fact shuffle join (stages/joins.py::hash_join): every line item
+    picks up its order's priority.  Neither side is dimension-sized, so this
+    is the co-partitioned exchange, not a broadcast."""
+    from ..stages.joins import hash_join
+
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    return hash_join(lines, orders, on="l_orderkey", right_on="o_orderkey",
+                     how="inner")
+
+
+def customers_without_events(sf_dir: str) -> ray.data.Dataset:
+    """Anti join: customers who never produced an event (hash_join
+    how='anti') — the churn/inactivity filter shape."""
+    from ..stages.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    events = _read(sf_dir, "events", ["user_id"])
+    return hash_join(cust, events, on="c_custkey", right_on="user_id",
+                     how="anti")

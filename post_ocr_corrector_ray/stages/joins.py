@@ -179,3 +179,54 @@ def interval_count_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                              out_count: n.astype(np.int64)})
 
     return grouped_apply(both, [left_key], count, num_partitions=num_partitions)
+
+
+def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+              on: str, right_on: str | None = None,
+              how: str = "inner",
+              num_partitions: int = DEFAULT_PARTITIONS) -> ray.data.Dataset:
+    """Co-partitioned equality join of two fact tables ("inner", "semi",
+    "anti") — the shuffle join for when NEITHER side fits a broadcast
+    (dimension-sized sides should keep using the `ray.put` broadcast-lookup
+    pattern in pipelines/relational.py instead; this operator moves BOTH
+    inputs through the exchange).
+
+    Same machinery as the temporal joins above: tag sides, harmonize schemas,
+    union, ONE coarse hash-partitioning shuffle on the key, vectorized pandas
+    merge per partition.  "semi"/"anti" return left rows (filtered), "inner"
+    returns left+right columns; non-key column names must not collide.
+    """
+    if how not in ("inner", "semi", "anti"):
+        raise ValueError(f"hash_join: unsupported how={how!r}")
+    renames = {right_on or on: on}
+    if how in ("semi", "anti"):
+        # existence checks only need the key — drop right payload before the
+        # exchange (less shuffle traffic, and collisions become impossible)
+        right = right.select_columns([right_on or on])
+    else:
+        clash = (set(left.schema().names)
+                 & {renames.get(n, n) for n in right.schema().names}) - {on}
+        if clash:
+            # a shared name would silently fuse both sides into one column in
+            # the harmonized union — refuse instead
+            raise ValueError(f"hash_join: column name collision {sorted(clash)}; "
+                             f"rename before joining")
+    both, left_cols, right_cols = _union_tagged(left, right, renames)
+    left_int = {n: t.to_pandas_dtype() for n, t in
+                zip(left.schema().names, left.schema().types)
+                if pa.types.is_integer(t)}
+    right_int = {}
+    rs = right.rename_columns(renames).schema()
+    for n, t in zip(rs.names, rs.types):
+        if n in right_cols and pa.types.is_integer(t):
+            right_int[n] = t.to_pandas_dtype()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df[_SIDE] == 0][left_cols].astype(left_int)
+        r = df[df[_SIDE] == 1][[on] + right_cols].astype(right_int)
+        if how == "inner":
+            return l.merge(r, on=on, how="inner")
+        keep = l[on].isin(r[on].unique())
+        return l[keep if how == "semi" else ~keep]
+
+    return grouped_apply(both, [on], merge, num_partitions=num_partitions)

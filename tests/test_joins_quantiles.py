@@ -177,3 +177,47 @@ class TestStratifiedSample:
         b = stratified_sample(
             ray.data.from_arrow(t).repartition(13), **kw).to_pandas()
         assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHashJoin:
+    def _sides(self):
+        import ray.data
+
+        l = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "lv": pa.array(["a", "b", "c", "d"], pa.string())}))
+        r = ray.data.from_arrow(pa.table({
+            "rk": pa.array([2, 2, 4, 9], pa.int64()),
+            "rv": pa.array([20, 21, 40, 90], pa.int64())}))
+        return l, r
+
+    def test_inner_semi_anti(self):
+        from post_ocr_corrector_ray.stages.joins import hash_join
+
+        l, r = self._sides()
+        inner = hash_join(l, r, on="k", right_on="rk", how="inner") \
+            .to_pandas().sort_values(["k", "rv"]).reset_index(drop=True)
+        assert inner[["k", "rv"]].values.tolist() == [[2, 20], [2, 21], [4, 40]]
+        l, r = self._sides()
+        semi = hash_join(l, r, on="k", right_on="rk", how="semi").to_pandas()
+        assert sorted(semi["k"]) == [2, 4]
+        assert list(semi.columns) == ["k", "lv"]      # right payload dropped
+        l, r = self._sides()
+        anti = hash_join(l, r, on="k", right_on="rk", how="anti").to_pandas()
+        assert sorted(anti["k"]) == [1, 3]
+
+    def test_collision_refused(self):
+        import ray.data
+
+        from post_ocr_corrector_ray.stages.joins import hash_join
+
+        l = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                          "v": pa.array([1], pa.int64())}))
+        r = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                          "v": pa.array([2], pa.int64())}))
+        with pytest.raises(ValueError, match="collision"):
+            hash_join(l, r, on="k", how="inner")
+        # semi is fine: right payload is dropped before the union
+        out = hash_join(l, r, on="k", how="semi").to_pandas()
+        assert out["v"].tolist() == [1]
