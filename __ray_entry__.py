@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": D.doc_stratified_sample,
         "lineitem_order_priority": R.lineitem_order_priority,
         "customers_without_events": R.customers_without_events,
+        "doc_length_quantiles_by_lang": D.doc_length_quantiles_by_lang,
     }
 
 
@@ -660,6 +661,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                        AS UBIGINT)
                   < CASE lang WHEN 'en' THEN 1073741824 ELSE 4294967296 END""",
+        "doc_length_quantiles_by_lang": """
+            WITH g AS (SELECT lang,
+                              quantile_disc(n_chars, [0.25,0.5,0.75]) AS vs
+                       FROM documents GROUP BY lang)
+            SELECT lang, unnest([0.25,0.5,0.75]) AS q, unnest(vs) AS value
+            FROM g""",
         "doc_length_quantiles": """
             SELECT unnest([0.1,0.25,0.5,0.75,0.9,0.99]) AS q,
                    unnest(quantile_disc(n_chars, [0.1,0.25,0.5,0.75,0.9,0.99]))

@@ -93,7 +93,7 @@ def run_benchmarks() -> dict:
         "events_asof_orders", "orders_event_window_counts",
         "orders_topk_per_customer", "doc_length_quantiles",
         "doc_stratified_sample", "lineitem_order_priority",
-        "customers_without_events",
+        "customers_without_events", "doc_length_quantiles_by_lang",
     ]
     qs = entry.queries()
     for name in bench_queries:

@@ -311,3 +311,11 @@ def doc_stratified_sample(sf_dir: str) -> ray.data.Dataset:
     return stratified_sample(_docs(sf_dir, ["doc_id", "lang"]),
                              fracs={"en": 0.25}, default_frac=1.0,
                              strat_col="lang", id_col="doc_id")
+
+
+def doc_length_quantiles_by_lang(sf_dir: str) -> pa.Table:
+    """Per-language exact length quantiles (grouped mergeable histogram)."""
+    from ..stages.quantiles import grouped_exact_quantiles
+
+    return grouped_exact_quantiles(_docs(sf_dir, ["lang", "n_chars"]),
+                                   "n_chars", "lang", [0.25, 0.5, 0.75])

@@ -221,3 +221,25 @@ class TestHashJoin:
         # semi is fine: right payload is dropped before the union
         out = hash_join(l, r, on="k", how="semi").to_pandas()
         assert out["v"].tolist() == [1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedQuantiles:
+    def test_matches_per_group_sorted_spec(self):
+        import ray.data
+
+        from post_ocr_corrector_ray.stages.quantiles import (
+            grouped_exact_quantiles)
+
+        rng = np.random.default_rng(3)
+        grp = rng.choice(["a", "b", "c"], size=900)
+        val = rng.integers(0, 40, size=900)
+        ds = ray.data.from_arrow(pa.table({
+            "g": pa.array(grp), "v": pa.array(val, pa.int64())}))
+        out = grouped_exact_quantiles(ds, "v", "g", [0.25, 0.5, 0.75]) \
+            .to_pandas()
+        for g in "abc":
+            sv = np.sort(val[grp == g])
+            sub = out[out.g == g]
+            for q, v in zip(sub["q"], sub["value"]):
+                assert v == sv[max(1, math.ceil(q * len(sv))) - 1]
