@@ -35,6 +35,18 @@ from .. import INT_EMPTY
 from ..functions.alphabet import Vocab
 from .transformer import Transformer, TransformerConfig, TransformerWeights
 
+# Fixed decode micro-batch: full max_len chunks decode in groups of exactly
+# this many.  The group boundary is a pure function of the document (chunks
+# [0, G), [G, 2G), ...), so the batch shapes fed to BLAS are identical whether
+# a document is corrected whole or exploded into G×max_len-char rows by the
+# chunk-parallel skew path — float results (and therefore argmax/bytes) match
+# bit-for-bit.  An "all chunks in one batch" policy would make output bytes
+# depend on document length vs explosion window (GEMM results vary with M), a
+# fragility the round-2 chunk-parallel byte-identity failure traced to.
+# Also bounds decode memory: one giant page never builds a (n_chunks × L)
+# attention problem bigger than (G × L).
+DECODE_GROUP = 32
+
 
 class NeuralCorrectorModel:
     def __init__(self, alphabet: str, weights: TransformerWeights, batch_size: int = 4):
@@ -108,19 +120,24 @@ class NeuralCorrectorModel:
         padding mask, so cross-document batches would leak neighbors' padding
         into the result).
 
-        All full ``max_len`` chunks decode as ONE batch (uniform length — no
-        padding exists), the short tail chunk decodes alone."""
+        Full ``max_len`` chunks decode in fixed groups of ``DECODE_GROUP``
+        (uniform length — no padding exists), the short tail chunk decodes
+        alone.  Group boundaries are document-absolute, so the chunk-parallel
+        explosion path (rows of ``DECODE_GROUP × max_len`` chars) reproduces
+        the exact same batch shapes and bytes."""
         if text == "":
             return ""
         L = self.max_len
+        G = DECODE_GROUP
         n_full = len(text) // L
         outs: list[str] = [""] * ((n_full + 1) if len(text) % L else n_full)
-        if n_full:
+        for g0 in range(0, n_full, G):
+            g1 = min(g0 + G, n_full)
             ids = np.stack([self.vocab.encode(text[i * L : (i + 1) * L])
-                            for i in range(n_full)])  # (n_full, L)
+                            for i in range(g0, g1)])  # (<=G, L)
             decoded = self.greedy_decode(ids)
-            for i in range(n_full):
-                outs[i] = self.vocab.decode(decoded[i])
+            for row, i in enumerate(range(g0, g1)):
+                outs[i] = self.vocab.decode(decoded[row])
         tail = text[n_full * L :]
         if tail:
             out = self.greedy_decode(self.vocab.encode(tail)[None, :])

@@ -48,7 +48,10 @@ def explode_chunks(batch: pa.Table, *, max_len: int, threshold: int,
     cannot serialize an actor.  Valid ONLY for the char-level neural corrector,
     whose decode is chunk-independent by construction (the reference itself
     chunks at ``max_len``, neural_corrector.py:138-141): per-chunk decode
-    concatenated equals whole-document correction byte-for-byte.
+    concatenated equals whole-document correction byte-for-byte — PROVIDED the
+    explosion window is a multiple of ``model.max_len × DECODE_GROUP`` so the
+    corrector builds bit-identical decode batches either way (the caller
+    passes that product as ``max_len`` here).
     Normal rows pass through with ``chunk_idx = -1``."""
     names = batch.column_names
     texts = batch.column(text_col).to_pylist()
@@ -180,14 +183,19 @@ def extract_correct(pages: ray.data.Dataset, *, corrector: CorrectorKind = "null
     ds = extract_pipeline(ds)
     if chunk_parallel:
         assert corrector == "neural", "chunk-parallel correction is char-level only"
+        from ..model.neural import DECODE_GROUP
+
         max_len = (correct_kwargs.get("hparams") or {}).get("max_len", 512)
+        # Explosion window = one full decode group, so the corrector's batch
+        # composition (and output bytes) are identical to whole-doc decode.
+        window = max_len * DECODE_GROUP
         # Only true giants should explode: each chunk row pays per-row decode
         # overhead, so exploding median documents COSTS throughput (measured
         # 4× at threshold 8×max_len). Giants are rare; spreading them kills
         # the straggler without touching the common path.
         thr = chunk_threshold if chunk_threshold is not None else 64 * max_len
         ds = ds.map_batches(explode_chunks, batch_format="pyarrow",
-                            fn_kwargs=dict(max_len=max_len, threshold=thr))
+                            fn_kwargs=dict(max_len=window, threshold=thr))
     ds = correct_stage(ds, corrector=corrector, **correct_kwargs)
     if out_dir is None:
         if chunk_parallel:
