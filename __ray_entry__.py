@@ -234,6 +234,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_order_priority": R.lineitem_order_priority,
         "customers_without_events": R.customers_without_events,
         "doc_length_quantiles_by_lang": D.doc_length_quantiles_by_lang,
+        # near-dup clustering + end-to-end dedup (large-star/small-star
+        # contraction over verified LSH pairs — stages/components.py)
+        "doc_dup_components": D.doc_dup_components,
+        "doc_dedup_near": D.doc_dedup_near,
     }
 
 
@@ -395,6 +399,34 @@ SELECT d.doc_id,
        COALESCE(a.sum_wl * 1.0 / a.n_words, 0.0) AS mean_word_len,
        COALESCE(a.n_stop * 1.0 / a.n_words, 0.0) AS stop_ratio
 FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# shared prefix for the near-dup clustering oracles: exact-Jaccard ≥ 0.5
+# pair edges (identical to the doc_minhash_pairs CTE) symmetrized, then the
+# recursive reachability set of every node (DuckDB UNION-dedup guarantees
+# termination); consumers reduce `reach` to min-reachable components
+_CC_ORACLE = r"""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, substr(text, CAST(g AS INTEGER), 5) AS gram
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text)-4, 1))) AS g
+            FROM documents)
+    ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+      FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) >= 0.5),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT reach.node, sym.v FROM reach JOIN sym ON reach.r = sym.u)
 """
 
 
@@ -672,6 +704,19 @@ def oracle_sql() -> dict[str, str]:
                    unnest(quantile_disc(n_chars, [0.1,0.25,0.5,0.75,0.9,0.99]))
                    AS value
             FROM documents""",
+        # connected components over the exact-Jaccard ≥ 0.5 edge set (same
+        # edge CTE as doc_minhash_pairs); component = min doc_id, computed by
+        # transitive-closure min over the recursive reachability set
+        "doc_dup_components": _CC_ORACLE + """
+            SELECT node, least(node, min(r)) AS component
+            FROM reach GROUP BY node""",
+        "doc_dedup_near": _CC_ORACLE + """
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (
+              SELECT node
+              FROM (SELECT node, least(node, min(r)) AS component
+                    FROM reach GROUP BY node)
+              WHERE node <> component)""",
     }
     # the IVF oracle inlines centroids derived from the driver's sf0.01
     # correctness fixture; if that fixture is absent (other deployments),

@@ -319,3 +319,30 @@ def doc_length_quantiles_by_lang(sf_dir: str) -> pa.Table:
 
     return grouped_exact_quantiles(_docs(sf_dir, ["lang", "n_chars"]),
                                    "n_chars", "lang", [0.25, 0.5, 0.75])
+
+
+def _near_dup_pairs(sf_dir: str) -> ray.data.Dataset:
+    """The calibrated MinHash-LSH verified pair set (doc_minhash_pairs) used
+    as the edge list for clustering — exact-Jaccard-equal at the 0.5
+    threshold (recall analysis in doc_minhash_pairs docstring)."""
+    return dd.minhash_duplicate_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), n_hashes=64, bands=16, k_shingle=5,
+        jaccard_threshold=0.5)
+
+
+def doc_dup_components(sf_dir: str) -> ray.data.Dataset:
+    """Near-dup clusters: verified pair edges contracted to (node, component)
+    by alternating large-star/small-star rounds (stages/components.py);
+    component = min doc_id.  DuckDB recursive-CTE oracle."""
+    from ..stages.components import connected_components
+
+    return connected_components(_near_dup_pairs(sf_dir))
+
+
+def doc_dedup_near(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end near-duplicate dedup: keep the min-id representative of
+    each cluster plus all unclustered docs — pairs → connected components →
+    co-partitioned anti join (never collected on the driver)."""
+    from ..stages.components import near_dedup
+
+    return near_dedup(_docs(sf_dir, ["doc_id"]), _near_dup_pairs(sf_dir))

@@ -1,0 +1,103 @@
+"""Connected components + near-dup dedup (stages/components.py).
+
+Oracle: a plain python union-find over the same edge list — independent of
+the distributed star-contraction implementation.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min = {}
+    for node in list(parent):
+        r = find(node)
+        comp_min[r] = min(comp_min.get(r, node), node)
+    return {node: comp_min[find(node)] for node in parent}
+
+
+def _run_cc(edges, num_partitions=4, **kw):
+    import ray.data
+    from post_ocr_corrector_ray.stages.components import connected_components
+
+    t = pa.table({"id_a": pa.array([a for a, _ in edges], pa.int64()),
+                  "id_b": pa.array([b for _, b in edges], pa.int64())})
+    out = connected_components(ray.data.from_arrow(t),
+                               num_partitions=num_partitions, **kw).to_pandas()
+    if out.empty:
+        return {}
+    return dict(zip(out["node"], out["component"]))
+
+
+def test_cc_matches_union_find_random_graph(ray_session):
+    rng = np.random.default_rng(7)
+    # sparse random graph over sparse ids → many non-trivial components
+    nodes = rng.choice(10_000, size=300, replace=False)
+    edges = [(int(nodes[i]), int(nodes[j]))
+             for i, j in rng.integers(0, len(nodes), size=(250, 2))
+             if i != j]
+    expect = _union_find_components(edges)
+    assert _run_cc(edges) == expect
+
+
+def test_cc_long_chain_converges(ray_session):
+    # a 60-node path is the adversarial case for naive label propagation;
+    # star contraction must still converge within the round bound
+    edges = [(i, i + 1) for i in range(60)]
+    got = _run_cc(edges, num_partitions=3)
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_cc_partition_count_invariance(ray_session):
+    rng = np.random.default_rng(13)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 120, size=(90, 2))
+             if a != b]
+    assert _run_cc(edges, num_partitions=2) == _run_cc(edges, num_partitions=9)
+
+
+def test_cc_empty_edges(ray_session):
+    assert _run_cc([]) == {}
+
+
+def test_cc_duplicate_and_reversed_edges(ray_session):
+    edges = [(5, 9), (9, 5), (5, 9), (9, 12), (1, 2)]
+    assert _run_cc(edges) == {5: 5, 9: 5, 12: 5, 1: 1, 2: 1}
+
+
+def test_near_dedup_keeps_min_representative(ray_session):
+    import ray.data
+    from post_ocr_corrector_ray.stages.components import near_dedup
+
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(list(range(30)), pa.int64())}))
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([3, 4, 17, 20], pa.int64()),
+                  "id_b": pa.array([4, 5, 18, 21], pa.int64())}))
+    surv = sorted(near_dedup(docs, pairs, num_partitions=4)
+                  .to_pandas()["doc_id"].tolist())
+    assert surv == sorted(set(range(30)) - {4, 5, 18, 21})
+
+
+def test_cc_non_convergence_raises(ray_session):
+    from post_ocr_corrector_ray.stages.components import connected_components
+    import ray.data
+
+    t = pa.table({"id_a": pa.array([i for i in range(40)], pa.int64()),
+                  "id_b": pa.array([i + 1 for i in range(40)], pa.int64())})
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(ray.data.from_arrow(t), max_rounds=0,
+                             num_partitions=2)
