@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": D.doc_fingerprint,
         "doc_fingerprint_rolling": D.doc_fingerprint_rolling,
         "doc_simhash": D.doc_simhash,
+        "doc_simhash_md5": D.doc_simhash_md5,
         "doc_simhash_candidates": D.doc_simhash_candidates,
         "doc_minhash_pairs": D.doc_minhash_pairs,
         "doc_ngram_jaccard_pairs": D.doc_ngram_jaccard_pairs,
@@ -277,14 +278,11 @@ def _lsh_oracle_sql(bits: int = 4, dim: int = 64, k: int = 10) -> str:
 _ORACLE_SF_DIR = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
-def _ivf_oracle_sql(n_clusters: int = 16, n_probe: int = 4, k: int = 10) -> str:
-    """SQL twin of ``ann_topk_ivf``: exact top-k within the probed clusters.
-
-    The centroids/probe-list constants are re-derived here OUTSIDE Ray (pure
-    pyarrow + the same deterministic id-hash sample + seeded Lloyd kmeans the
-    engine uses), then inlined — the driver's correctness fixture is sf0.01,
-    which is the table these constants correspond to.
-    """
+def _oracle_centroids(n_clusters: int = 16):
+    """(centroids, arrow table) re-derived OUTSIDE Ray: pure pyarrow + the
+    same deterministic id-hash sample + seeded Lloyd kmeans the engine uses.
+    The driver's correctness fixture is sf0.01, which is the table these
+    constants correspond to."""
     import pyarrow.parquet as pq
 
     from post_ocr_corrector_ray.functions.hashing import hash_u64_array
@@ -300,7 +298,13 @@ def _ivf_oracle_sql(n_clusters: int = 16, n_probe: int = 4, k: int = 10) -> str:
     order = np.argsort(ids[keep])
     sample = np.array(t.column("embedding").take(
         np.nonzero(keep)[0]).to_pylist(), dtype=np.float64)[order]
-    centroids = kmeans_fit(sample, n_clusters, seed=42)
+    return kmeans_fit(sample, n_clusters, seed=42), t, ids
+
+
+def _ivf_oracle_sql(n_clusters: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """SQL twin of ``ann_topk_ivf``: exact top-k within the probed clusters,
+    from centroids inlined by ``_oracle_centroids``."""
+    centroids, t, ids = _oracle_centroids(n_clusters)
     q = np.asarray(t.column("embedding")[ids.tolist().index(0)].as_py(),
                    dtype=np.float64)
     qd2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
@@ -322,6 +326,33 @@ def _ivf_oracle_sql(n_clusters: int = 16, n_probe: int = 4, k: int = 10) -> str:
                       WHERE vec_id = 0)), 6) AS sim
         FROM b JOIN probed USING (vec_id)
         ORDER BY sim DESC, vec_id LIMIT {k}"""
+
+
+def _ivf_pairs_oracle_sql(n_clusters: int = 16, n_assign: int = 2,
+                          threshold: float = 0.4) -> str:
+    """SQL twin of ``ivf_candidate_pairs`` (emb_cosine_dups_bucketed): the
+    same multi-assignment to the ``n_assign`` nearest inlined centroids, the
+    same shared-cluster candidate pairs, the same rounded exact-cosine
+    verify — so the approximate scale path's *machinery* is hash-verified
+    end-to-end (its recall vs the exact pair set is a separate pytest)."""
+    centroids, _, _ = _oracle_centroids(n_clusters)
+    cent_values = ", ".join(f"({c}, {_dlist(centroids[c])})"
+                            for c in range(n_clusters))
+    return f"""
+        WITH cents(cid, c) AS (VALUES {cent_values}),
+        b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        assign AS (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY list_distance(v, c), cid) AS rn
+          FROM b CROSS JOIN cents),
+        aa AS (SELECT vec_id, cid FROM assign WHERE rn <= {n_assign}),
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                 FROM aa x JOIN aa y ON x.cid = y.cid
+                 AND x.vec_id < y.vec_id)
+        SELECT id_a, id_b, round(list_cosine_similarity(a.v, d.v), 6) AS sim
+        FROM cand JOIN b a ON a.vec_id = id_a JOIN b d ON d.vec_id = id_b
+        WHERE round(list_cosine_similarity(a.v, d.v), 6) >= {threshold}"""
 
 
 def _langid_oracle_sql() -> str:
@@ -704,6 +735,28 @@ def oracle_sql() -> dict[str, str]:
                    unnest(quantile_disc(n_chars, [0.1,0.25,0.5,0.75,0.9,0.99]))
                    AS value
             FROM documents""",
+        # simhash bit-majority over md5-derived shingle hashes (top 64 digest
+        # bits); bits 0..62 only — the engine masks bit 63 off for Arrow int64
+        "doc_simhash_md5": r"""
+            WITH grams AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(g AS INTEGER), 5) AS gram
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, greatest(length(text)-4, 1))) AS g
+                    FROM documents)
+            ), h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(gram), 1, 16)) AS UBIGINT) AS hv
+              FROM grams
+            ), votes AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS b)
+              GROUP BY doc_id, b)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN vote > 0
+                            THEN (CAST(1 AS UBIGINT) << CAST(b AS INTEGER))
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id""",
         # connected components over the exact-Jaccard ≥ 0.5 edge set (same
         # edge CTE as doc_minhash_pairs); component = min doc_id, computed by
         # transitive-closure min over the recursive reachability set
@@ -723,4 +776,5 @@ def oracle_sql() -> dict[str, str]:
     # degrade that ONE query to rows-only instead of breaking every oracle
     if os.path.exists(f"{_ORACLE_SF_DIR}/embeddings.parquet"):
         out["emb_ann_topk_ivf"] = _ivf_oracle_sql()
+        out["emb_cosine_dups_bucketed"] = _ivf_pairs_oracle_sql()
     return out

@@ -346,3 +346,10 @@ def doc_dedup_near(sf_dir: str) -> ray.data.Dataset:
     from ..stages.components import near_dedup
 
     return near_dedup(_docs(sf_dir, ["doc_id"]), _near_dup_pairs(sf_dir))
+
+
+def doc_simhash_md5(sf_dir: str) -> ray.data.Dataset:
+    """SimHash with md5 shingle hashes — the SQL-oracle twin of doc_simhash,
+    hash-verifying the bit-majority machinery (stages/dedup.py)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        dd.simhash_md5_batch, batch_format="pyarrow")

@@ -404,20 +404,50 @@ def minhash_duplicate_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
 # --- SimHash ------------------------------------------------------------------
 
 
-def simhash64(text: str, k_shingle: int = 5) -> int:
-    sh = shingle_hashes(text or "", k=k_shingle)
-    if sh.size == 0:
+def _bit_majority_word(hashes: np.ndarray) -> int:
+    """64-bit per-bit majority vote over a uint64 hash set, masked
+    int64-positive for Arrow."""
+    if hashes.size == 0:
         return 0
-    bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1) \
+        .astype(np.int64)
     votes = (2 * bits - 1).sum(axis=0)
     weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
     word = int((votes > 0).astype(np.uint64) @ weights)
-    return word & 0x7FFFFFFFFFFFFFFF  # keep int64-positive for Arrow
+    return word & 0x7FFFFFFFFFFFFFFF
+
+
+def simhash64(text: str, k_shingle: int = 5) -> int:
+    return _bit_majority_word(shingle_hashes(text or "", k=k_shingle))
 
 
 def simhash_batch(batch: pa.Table, *, text_col: str = "text",
                   id_col: str = "doc_id", k_shingle: int = 5) -> pa.Table:
     vals = [simhash64(t, k_shingle) for t in batch.column(text_col).to_pylist()]
+    return pa.table({id_col: batch.column(id_col),
+                     "simhash": pa.array(vals, pa.int64())})
+
+
+def simhash_md5_batch(batch: pa.Table, *, text_col: str = "text",
+                      id_col: str = "doc_id", k_shingle: int = 5) -> pa.Table:
+    """SimHash with md5-derived shingle hashes (top 64 digest bits) — the
+    SQL-expressible oracle twin of ``simhash_batch``, cross-validating the
+    bit-majority machinery end-to-end (__ray_entry__ ``doc_simhash_md5``).
+    The polyhash variant stays the scale path (md5-per-gram is Python-loop
+    bound); a per-batch gram→hash cache amortizes repeated grams."""
+    import hashlib
+
+    cache: dict[str, int] = {}
+    vals: list[int] = []
+    for t in batch.column(text_col).to_pylist():
+        t = t or ""
+        grams = ({t[i:i + k_shingle] for i in range(len(t) - k_shingle + 1)}
+                 if len(t) >= k_shingle else {t})
+        hs = np.fromiter(
+            (cache.get(g) if g in cache else cache.setdefault(
+                g, int(hashlib.md5(g.encode("utf-8")).hexdigest()[:16], 16))
+             for g in grams), dtype=np.uint64, count=len(grams))
+        vals.append(_bit_majority_word(hs))
     return pa.table({id_col: batch.column(id_col),
                      "simhash": pa.array(vals, pa.int64())})
 

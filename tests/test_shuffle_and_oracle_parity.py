@@ -73,6 +73,9 @@ class TestOracleParitySubset:
         "doc_normalize_ws", "doc_token_counts", "doc_split_assignment",
         "doc_dedup_exact", "emb_ann_topk", "order_priority_counts",
         "events_sessions", "supplier_counts_by_region",
+        # near-dup clustering + dedup + md5 simhash (emb_cosine_dups_bucketed
+        # is driver-only: its oracle inlines sf0.01 centroids)
+        "doc_dup_components", "doc_dedup_near", "doc_simhash_md5",
     ])
     def test_query_matches_oracle(self, con, name):
         import __ray_entry__ as entry
