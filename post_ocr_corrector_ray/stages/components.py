@@ -24,6 +24,18 @@ expected cost.
 Output contract: ``connected_components`` returns (node, component) with
 component = min node id of the component — deterministic, so the result is
 hash-comparable against a DuckDB recursive-CTE oracle (__ray_entry__).
+
+Partitioning assumptions (the ones a 256-node deployment must hold):
+
+* star rounds key the exchange on the edge's node id — correctness needs all
+  rows of one node id in one partition (grouped_apply guarantees it), and a
+  single node's neighborhood must fit one worker's heap.  Near-dup graphs
+  satisfy this by construction: LSH bucket caps bound per-node degree.  A
+  true celebrity node would need degree-capped contraction (not needed for
+  dedup graphs).
+* the finalize pass never re-shuffles children (a giant cluster's children
+  would all hash into the root's partition); only per-batch-distinct root
+  ids move through the final exchange.
 """
 
 from __future__ import annotations
@@ -36,9 +48,6 @@ import pyarrow.compute as pc
 import ray.data
 
 from .shuffle import DEFAULT_PARTITIONS, grouped_apply
-
-_EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
-
 
 def _empty_edges() -> pd.DataFrame:
     return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
@@ -200,23 +209,36 @@ def connected_components(edges: ray.data.Dataset, *,
         raise RuntimeError(
             f"connected_components: no convergence in {max_rounds} rounds")
 
-    # star graph: every edge is (child, root).  Components = children rows +
-    # one self row per root (roots never appear as children once converged).
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
-                                 "component": pd.Series([], dtype=np.int64)})
-        nodes = df["u"].to_numpy(np.int64)
-        comps = df["v"].to_numpy(np.int64)
-        roots = np.setdiff1d(np.unique(comps), nodes)
-        return pd.DataFrame({
-            "node": np.concatenate([nodes, roots]),
-            "component": np.concatenate([comps, roots])}).drop_duplicates()
+    # star graph: every edge is (child, root), globally unique — small-star
+    # keys by u and dedups per partition, so children map with NO further
+    # shuffle (a giant cluster's children would otherwise all hash into one
+    # partition).  Only the root ids (one per component) go through a
+    # distinct shuffle for their self-rows.
+    def children(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("u").cast(pa.int64()),
+                         "component": batch.column("v").cast(pa.int64())})
 
-    # root self-rows must be emitted exactly once globally → key the final
-    # pass by the component id so each root lands in one partition
-    return grouped_apply(cur, ["v"], finalize,
-                         num_partitions=num_partitions)
+    def local_roots(batch: pa.Table) -> pa.Table:
+        # per-batch distinct before the shuffle: the exchange moves at most
+        # (#batches × distinct-per-batch) root ids, not one row per edge
+        v = np.unique(batch.column("v").to_numpy(zero_copy_only=False))
+        return pa.table({"v": pa.array(v, pa.int64())})
+
+    def root_rows(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.unique(df["v"].to_numpy(np.int64))
+        return pd.DataFrame({"node": v, "component": v})
+
+    def as_arrow(df: pd.DataFrame) -> pa.Table:
+        # unify block type with child_rows: union() refuses mixed
+        # pandas/arrow blocks
+        return pa.table({"node": pa.array(df["node"], pa.int64()),
+                         "component": pa.array(df["component"], pa.int64())})
+
+    child_rows = cur.map_batches(children, batch_format="pyarrow")
+    roots = grouped_apply(cur.map_batches(local_roots, batch_format="pyarrow"),
+                          ["v"], root_rows, num_partitions=num_partitions) \
+        .map_batches(as_arrow, batch_format="pandas")
+    return child_rows.union(roots)
 
 
 def near_dedup(docs: ray.data.Dataset, pairs: ray.data.Dataset, *,
@@ -236,8 +258,8 @@ def near_dedup(docs: ray.data.Dataset, pairs: ray.data.Dataset, *,
                                 num_partitions=num_partitions)
 
     def losers(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pa.compute.not_equal(batch.column("node"),
-                                              batch.column("component")))
+        t = batch.filter(pc.not_equal(batch.column("node"),
+                                      batch.column("component")))
         return pa.table({id_col: t.column("node")})
 
     discard = comp.map_batches(losers, batch_format="pyarrow")

@@ -101,3 +101,15 @@ def test_cc_non_convergence_raises(ray_session):
     with pytest.raises(RuntimeError, match="no convergence"):
         connected_components(ray.data.from_arrow(t), max_rounds=0,
                              num_partitions=2)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 60), st.integers(0, 60)),
+                min_size=0, max_size=80),
+       st.sampled_from([3, 8]))
+def test_cc_property_matches_union_find(ray_session, edges, parts):
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _run_cc(edges, num_partitions=parts) == _union_find_components(edges)
