@@ -239,6 +239,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # contraction over verified LSH pairs — stages/components.py)
         "doc_dup_components": D.doc_dup_components,
         "doc_dedup_near": D.doc_dedup_near,
+        # heavy hitters / distinct counting / threshold filtering
+        "doc_top_tokens": lambda sf: D.doc_top_tokens(sf),
+        "doc_token_distinct": lambda sf: D.doc_token_distinct(sf),
+        # HLL sketch (shuffle-free scale twin of doc_token_distinct; accuracy
+        # pytest-pinned vs the exact count — stages/sketches.py)
+        "doc_token_distinct_hll": lambda sf: D.doc_token_distinct_hll(sf),
+        "doc_percentile_filter": lambda sf: D.doc_percentile_filter(sf),
     }
 
 
@@ -735,6 +742,19 @@ def oracle_sql() -> dict[str, str]:
                    unnest(quantile_disc(n_chars, [0.1,0.25,0.5,0.75,0.9,0.99]))
                    AS value
             FROM documents""",
+        "doc_top_tokens": r"""
+            SELECT w AS token, CAST(count(*) AS BIGINT) AS frequency
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                  FROM documents WHERE trim(text) <> '')
+            GROUP BY w ORDER BY frequency DESC, token LIMIT 50""",
+        "doc_token_distinct": r"""
+            SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_tokens
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                  FROM documents WHERE trim(text) <> '')""",
+        "doc_percentile_filter": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.25)
+                              FROM documents)""",
         # simhash bit-majority over md5-derived shingle hashes (top 64 digest
         # bits); bits 0..62 only — the engine masks bit 63 off for Arrow int64
         "doc_simhash_md5": r"""

@@ -94,7 +94,9 @@ def run_benchmarks() -> dict:
         "orders_topk_per_customer", "doc_length_quantiles",
         "doc_stratified_sample", "lineitem_order_priority",
         "customers_without_events", "doc_length_quantiles_by_lang",
-        "doc_dup_components", "doc_dedup_near",
+        "doc_dup_components", "doc_dedup_near", "doc_top_tokens",
+        "doc_token_distinct", "doc_token_distinct_hll",
+        "doc_percentile_filter",
     ]
     qs = entry.queries()
     for name in bench_queries:

@@ -106,6 +106,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--partitions", type=int, default=32)
     s.add_argument("--data-format", choices=["parquet", "csv"], default="parquet")
 
+    s = sub.add_parser("dedup", help="documents parquet → near-dup-deduplicated "
+                                     "resumable committed store (MinHash-LSH "
+                                     "pairs → connected components → keep "
+                                     "min-id representative)")
+    s.add_argument("documents"); s.add_argument("out_dir")
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--threshold", type=float, default=0.5)
+    s.add_argument("--partitions", type=int, default=32)
+
     args = p.parse_args(argv)
 
     if args.cmd == "convert-ckpt":
@@ -200,6 +210,26 @@ def main(argv: list[str] | None = None) -> int:
                 key_col=args.key_col, num_partitions=args.partitions,
                 data_format=args.data_format,
                 input_fingerprint=fingerprint_inputs(args.parquet)).to_pandas()
+            print(json.dumps({"partitions_committed": len(summary),
+                              "rows": int(summary["n_rows"].sum()) if len(summary) else 0}))
+        elif args.cmd == "dedup":
+            from .stages.components import near_dedup
+            from .stages.dedup import minhash_duplicate_pairs
+            from .state.lineage import commit_by_key, fingerprint_inputs
+
+            docs = ray.data.read_parquet(
+                args.documents, columns=[args.id_col, args.text_col])
+            pairs = minhash_duplicate_pairs(
+                docs, text_col=args.text_col, id_col=args.id_col,
+                n_hashes=64, bands=16, k_shingle=5,
+                jaccard_threshold=args.threshold)
+            surv = near_dedup(docs, pairs, id_col=args.id_col,
+                              num_partitions=args.partitions)
+            summary = commit_by_key(
+                surv, args.out_dir, key_col=args.id_col,
+                num_partitions=args.partitions,
+                input_fingerprint=fingerprint_inputs(args.documents),
+                stage_versions={"dedup": "minhash-lsh-cc-v1"}).to_pandas()
             print(json.dumps({"partitions_committed": len(summary),
                               "rows": int(summary["n_rows"].sum()) if len(summary) else 0}))
         elif args.cmd == "feed":

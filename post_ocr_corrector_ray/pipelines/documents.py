@@ -353,3 +353,62 @@ def doc_simhash_md5(sf_dir: str) -> ray.data.Dataset:
     hash-verifying the bit-majority machinery (stages/dedup.py)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         dd.simhash_md5_batch, batch_format="pyarrow")
+
+
+def doc_top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
+    """Global heavy hitters: exact token frequencies (pre-aggregated partials
+    → coarse-hash exchange) then per-block local top-k so only ≤ blocks × k
+    tiny rows reach the driver merge (the distributed-top-k pattern of
+    top_customers).  Deterministic tiebreak (frequency DESC, token ASC)."""
+    import pandas as pd
+
+    counts = token_counts(_docs(sf_dir, ["text"]), text_col="text", split=None)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["frequency", "token"],
+                              ascending=[False, True]).head(k)
+
+    parts = counts.map_batches(local_topk, batch_format="pandas").take_all()
+    top = pd.DataFrame(parts).sort_values(
+        ["frequency", "token"], ascending=[False, True]).head(k)
+    return pa.table({"token": pa.array(top["token"], pa.string()),
+                     "frequency": pa.array(top["frequency"], pa.int64())})
+
+
+def doc_token_distinct(sf_dir: str) -> pa.Table:
+    """Exact global distinct-token count: the token exchange's output row
+    count (no extra pass).  The HLL sketch below is its shuffle-free scale
+    twin."""
+    counts = token_counts(_docs(sf_dir, ["text"]), text_col="text", split=None)
+    return pa.table({"n_tokens": pa.array([counts.count()], pa.int64())})
+
+
+def doc_token_distinct_hll(sf_dir: str, p: int = 12) -> pa.Table:
+    """Approximate distinct tokens via mergeable HyperLogLog registers
+    (stages/sketches.py): per-block register arrays → driver max-merge; NO
+    shuffle, fixed 2^p bytes per block.  Accuracy vs the exact twin is
+    pytest-pinned (~1.6% at p=12)."""
+    from ..stages.sketches import hll_distinct
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(
+            batch.column("text").combine_chunks()))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        return pa.table({"token": toks})
+
+    tokens = _docs(sf_dir, ["text"]).map_batches(explode,
+                                                 batch_format="pyarrow")
+    return hll_distinct(tokens, "token", p=p)
+
+
+def doc_percentile_filter(sf_dir: str, q: float = 0.25) -> ray.data.Dataset:
+    """Two-pass corpus filter: exact length quantile (mergeable histogram →
+    tiny driver threshold) broadcast into a row-filter-pushdown re-read —
+    drop the shortest q of the corpus.  The aggregate→broadcast→filter shape
+    every quality-threshold pipeline uses at scale."""
+    from ..stages.quantiles import exact_quantiles
+
+    t = exact_quantiles(_docs(sf_dir, ["n_chars"]), "n_chars", [q])
+    threshold = int(t.column("value")[0].as_py())
+    return _docs(sf_dir, ["doc_id", "n_chars"]) \
+        .filter(expr=f"n_chars >= {threshold}")

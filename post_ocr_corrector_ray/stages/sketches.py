@@ -1,0 +1,77 @@
+"""Mergeable sketches for corpus-scale approximate aggregates.
+
+HyperLogLog distinct-count: the scale twin of an exact COUNT(DISTINCT) —
+at 10^12 documents the exact path's shuffle moves one row per distinct key,
+while the sketch moves a fixed 2^p-byte register array per *block* and the
+driver merges by elementwise max.  Estimation follows the published HLL
+formula (Flajolet et al. 2007) with the standard small-range linear-counting
+correction; no proprietary variants.
+
+Accuracy contract: relative error ≈ 1.04/sqrt(2^p) (p=12 → ~1.6%), pinned in
+tests/test_sketches.py against the exact count on the test corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.hashing import polyhash_u64_array
+
+
+def _hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
+    """uint8[2^p] register array for a batch of uint64 hashes: register
+    index = top p bits, value = max leading-zero run (+1) of the rest."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if hashes.size == 0:
+        return regs
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = (hashes << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel ones
+    # rank = leading zeros of `rest` + 1, vectorized via float64 exponent
+    # trick being imprecise — use a bit-length loop over the 64-p positions?
+    # No: log2 on uint64 loses precision past 2^53.  Shift-compare instead:
+    rank = np.ones(len(hashes), dtype=np.uint8)
+    cur = rest.copy()
+    top = np.uint64(1 << 63)
+    for _ in range(64 - p):
+        zero_top = (cur & top) == 0
+        if not zero_top.any():
+            break
+        rank = np.where(zero_top, rank + 1, rank).astype(np.uint8)
+        cur = np.where(zero_top, cur << np.uint64(1), cur)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected harmonic-mean estimate + linear counting small-range."""
+    m = regs.size
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct(ds: ray.data.Dataset, col: str, *, p: int = 12,
+                 hash_fn=None) -> pa.Table:
+    """Approximate global COUNT(DISTINCT ds[col]) — one register-array row
+    per block reaches the driver (shuffle-free); returns a 1-row table
+    (estimate: double, p: int64)."""
+    hash_fn = hash_fn or (lambda arr: polyhash_u64_array(arr))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col_arr = batch.column(col)
+        hashes = hash_fn(col_arr)
+        return pa.table({"regs": pa.array([_hll_registers(hashes, p).tobytes()],
+                                          pa.binary())})
+
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        merged = np.maximum(merged, np.frombuffer(row["regs"], dtype=np.uint8))
+    return pa.table({"estimate": pa.array([_hll_estimate(merged)], pa.float64()),
+                     "p": pa.array([p], pa.int64())})

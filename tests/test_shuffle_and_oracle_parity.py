@@ -76,6 +76,7 @@ class TestOracleParitySubset:
         # near-dup clustering + dedup + md5 simhash (emb_cosine_dups_bucketed
         # is driver-only: its oracle inlines sf0.01 centroids)
         "doc_dup_components", "doc_dedup_near", "doc_simhash_md5",
+        "doc_top_tokens", "doc_token_distinct", "doc_percentile_filter",
     ])
     def test_query_matches_oracle(self, con, name):
         import __ray_entry__ as entry

@@ -1,0 +1,70 @@
+"""HyperLogLog distinct-count sketch (stages/sketches.py)."""
+
+import numpy as np
+import pyarrow as pa
+
+from post_ocr_corrector_ray.stages.sketches import (
+    _hll_estimate,
+    _hll_registers,
+    hll_distinct,
+)
+
+
+def _naive_registers(hashes, p):
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    for h in hashes:
+        h = int(h)
+        idx = h >> (64 - p)
+        rest = ((h << p) | ((1 << p) - 1)) & ((1 << 64) - 1)
+        rank = 1
+        for b in range(63, -1, -1):
+            if rest & (1 << b):
+                break
+            rank += 1
+        regs[idx] = max(regs[idx], rank)
+    return regs
+
+
+def test_registers_match_naive():
+    rng = np.random.default_rng(3)
+    hashes = rng.integers(0, 2 ** 64, size=500, dtype=np.uint64)
+    for p in (4, 12):
+        np.testing.assert_array_equal(_hll_registers(hashes, p),
+                                      _naive_registers(hashes, p))
+
+
+def test_register_merge_is_max():
+    rng = np.random.default_rng(4)
+    a = rng.integers(0, 2 ** 64, size=300, dtype=np.uint64)
+    b = rng.integers(0, 2 ** 64, size=300, dtype=np.uint64)
+    merged = np.maximum(_hll_registers(a, 10), _hll_registers(b, 10))
+    np.testing.assert_array_equal(
+        merged, _hll_registers(np.concatenate([a, b]), 10))
+
+
+def test_estimate_accuracy_bound():
+    # true uniform-hash model: error ≤ 5σ where σ = 1.04/sqrt(m)
+    rng = np.random.default_rng(5)
+    for n in (100, 5_000, 200_000):
+        hashes = rng.integers(0, 2 ** 64, size=n, dtype=np.uint64)
+        est = _hll_estimate(_hll_registers(hashes, 12))
+        assert abs(est - n) / n < 5 * 1.04 / np.sqrt(4096), (n, est)
+
+
+def test_hll_distinct_vs_exact_on_strings(ray_session):
+    import ray.data
+
+    vals = [f"token-{i % 7000}" for i in range(30_000)]
+    ds = ray.data.from_arrow(pa.table({"token": pa.array(vals, pa.string())}))
+    out = hll_distinct(ds, "token", p=12)
+    est = out.column("estimate")[0].as_py()
+    assert abs(est - 7000) / 7000 < 0.05, est
+
+
+def test_hll_distinct_empty(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({"token": pa.array([], pa.string())}))
+    est = hll_distinct(ds, "token", p=8).column("estimate")[0].as_py()
+    assert est == 0.0
