@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": D.doc_simhash,
         "doc_simhash_md5": D.doc_simhash_md5,
         "doc_simhash_candidates": D.doc_simhash_candidates,
+        "doc_simhash_candidates_md5": D.doc_simhash_candidates_md5,
         "doc_minhash_pairs": D.doc_minhash_pairs,
         "doc_ngram_jaccard_pairs": D.doc_ngram_jaccard_pairs,
         "doc_minhash_bucket_stats": lambda sf: D.doc_minhash_bucket_stats(sf),
@@ -246,6 +247,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-pinned vs the exact count — stages/sketches.py)
         "doc_token_distinct_hll": lambda sf: D.doc_token_distinct_hll(sf),
         "doc_percentile_filter": lambda sf: D.doc_percentile_filter(sf),
+        # global ROW_NUMBER without a global sort (histogram base offsets +
+        # one value-keyed exchange — stages/quantiles.py::global_rank)
+        "doc_rank_by_length": lambda sf: D.doc_rank_by_length(sf),
     }
 
 
@@ -438,6 +442,30 @@ SELECT d.doc_id,
        COALESCE(a.n_stop * 1.0 / a.n_words, 0.0) AS stop_ratio
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+
+
+# md5-simhash twin (doc_simhash_md5; also the signature CTE for the banding
+# candidates oracle): bit-majority over md5-derived shingle hashes
+_SIMHASH_MD5_SQL = r"""
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN vote > 0
+                            THEN (CAST(1 AS UBIGINT) << CAST(b AS INTEGER))
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(gram), 1, 16)) AS UBIGINT) AS hv
+                FROM (
+                  SELECT DISTINCT doc_id,
+                         substr(text, CAST(g AS INTEGER), 5) AS gram
+                  FROM (SELECT doc_id, text,
+                               unnest(generate_series(1, greatest(length(text)-4, 1))) AS g
+                        FROM documents)))
+              CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS b)
+              GROUP BY doc_id, b)
+            GROUP BY doc_id"""
 
 
 # shared prefix for the near-dup clustering oracles: exact-Jaccard ≥ 0.5
@@ -755,28 +783,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.25)
                               FROM documents)""",
+        "doc_rank_by_length": """
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS rank
+            FROM documents""",
         # simhash bit-majority over md5-derived shingle hashes (top 64 digest
         # bits); bits 0..62 only — the engine masks bit 63 off for Arrow int64
-        "doc_simhash_md5": r"""
-            WITH grams AS (
-              SELECT DISTINCT doc_id, substr(text, CAST(g AS INTEGER), 5) AS gram
-              FROM (SELECT doc_id, text,
-                           unnest(generate_series(1, greatest(length(text)-4, 1))) AS g
-                    FROM documents)
-            ), h AS (
-              SELECT doc_id,
-                     CAST(('0x' || substr(md5(gram), 1, 16)) AS UBIGINT) AS hv
-              FROM grams
-            ), votes AS (
-              SELECT doc_id, b,
-                     sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS b)
-              GROUP BY doc_id, b)
-            SELECT doc_id,
-                   CAST(sum(CASE WHEN vote > 0
-                            THEN (CAST(1 AS UBIGINT) << CAST(b AS INTEGER))
-                            ELSE 0 END) AS BIGINT) AS simhash
-            FROM votes GROUP BY doc_id""",
+        "doc_simhash_md5": _SIMHASH_MD5_SQL,
+        # chunk-banding candidates + hamming verify over the same md5
+        # signatures: shares-any-8-bit-chunk pair generation, hamming ≤ 8
+        "doc_simhash_candidates_md5": f"""
+            WITH s AS ({_SIMHASH_MD5_SQL}),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.simhash AS x, b.simhash AS y
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE EXISTS (
+                SELECT 1 FROM (SELECT unnest(generate_series(0, 7)) AS c)
+                WHERE (a.simhash >> CAST(8*c AS INTEGER)) & 255
+                      = (b.simhash >> CAST(8*c AS INTEGER)) & 255))
+            SELECT id_a, id_b, CAST(bit_count(xor(x, y)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(x, y)) <= 8""",
         # connected components over the exact-Jaccard ≥ 0.5 edge set (same
         # edge CTE as doc_minhash_pairs); component = min doc_id, computed by
         # transitive-closure min over the recursive reachability set

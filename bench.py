@@ -96,7 +96,7 @@ def run_benchmarks() -> dict:
         "customers_without_events", "doc_length_quantiles_by_lang",
         "doc_dup_components", "doc_dedup_near", "doc_top_tokens",
         "doc_token_distinct", "doc_token_distinct_hll",
-        "doc_percentile_filter",
+        "doc_percentile_filter", "doc_rank_by_length",
     ]
     qs = entry.queries()
     for name in bench_queries:

@@ -412,3 +412,22 @@ def doc_percentile_filter(sf_dir: str, q: float = 0.25) -> ray.data.Dataset:
     threshold = int(t.column("value")[0].as_py())
     return _docs(sf_dir, ["doc_id", "n_chars"]) \
         .filter(expr=f"n_chars >= {threshold}")
+
+
+def doc_simhash_candidates_md5(sf_dir: str) -> ray.data.Dataset:
+    """SimHash banding + hamming verify over the md5 signature kernel — the
+    SQL-oracle twin of doc_simhash_candidates, hash-verifying the chunk
+    bucketing and vectorized hamming machinery end-to-end."""
+    return dd.simhash_candidates(_docs(sf_dir, ["doc_id", "text"]),
+                                 max_hamming=8, n_chunks=8,
+                                 sig_batch_fn=dd.simhash_md5_batch)
+
+
+def doc_rank_by_length(sf_dir: str) -> ray.data.Dataset:
+    """Global ROW_NUMBER over the corpus ordered by (n_chars, doc_id) —
+    histogram base offsets + ONE value-keyed exchange, no global sort
+    (stages/quantiles.py::global_rank)."""
+    from ..stages.quantiles import global_rank
+
+    return global_rank(_docs(sf_dir, ["doc_id", "n_chars"]),
+                       "n_chars", "doc_id")

@@ -454,12 +454,16 @@ def simhash_md5_batch(batch: pa.Table, *, text_col: str = "text",
 
 def simhash_candidates(ds: ray.data.Dataset, *, text_col: str = "text",
                        id_col: str = "doc_id", k_shingle: int = 5,
-                       max_hamming: int = 3, n_chunks: int = 4) -> ray.data.Dataset:
+                       max_hamming: int = 3, n_chunks: int = 4,
+                       sig_batch_fn=None) -> ray.data.Dataset:
     """Near-dup candidates: equal simhash chunk (64/n_chunks bits) → bucket →
     verify Hamming distance ≤ max_hamming within bucket.  Pigeonhole recall
     guarantee: every pair with hamming < n_chunks shares ≥ one chunk; raise
-    ``n_chunks`` (8 → 8-bit chunks) for higher recall at more candidates."""
-    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow",
+    ``n_chunks`` (8 → 8-bit chunks) for higher recall at more candidates.
+    ``sig_batch_fn`` swaps the signature kernel (``simhash_md5_batch`` for
+    the SQL-oracle twin); default is the polyhash scale path."""
+    sigs = ds.map_batches(sig_batch_fn or simhash_batch,
+                          batch_format="pyarrow",
                           fn_kwargs=dict(text_col=text_col, id_col=id_col,
                                          k_shingle=k_shingle))
     chunk_bits = 64 // n_chunks

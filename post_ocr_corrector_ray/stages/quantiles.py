@@ -25,7 +25,7 @@ import pyarrow as pa
 
 import ray.data
 
-from .shuffle import DEFAULT_PARTITIONS, grouped_agg
+from .shuffle import DEFAULT_PARTITIONS, grouped_agg, grouped_apply
 
 
 def exact_quantiles(ds: ray.data.Dataset, col: str, qs: list[float], *,
@@ -98,3 +98,56 @@ def grouped_exact_quantiles(ds: ray.data.Dataset, col: str, group_col: str,
     return pa.table({group_col: pa.array(out_g),
                      "q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v, pa.int64())})
+
+
+def global_rank(ds: ray.data.Dataset, col: str, id_col: str, *,
+                rank_col: str = "rank",
+                num_partitions: int = DEFAULT_PARTITIONS) -> ray.data.Dataset:
+    """Distributed ROW_NUMBER() OVER (ORDER BY col, id_col) WITHOUT a global
+    sort: the mergeable value-histogram gives each distinct ``col`` value its
+    base offset (tiny driver cumsum, broadcast once via ``ray.put``), then ONE
+    value-keyed exchange ranks rows inside each value group by ``id_col``.
+
+    Scale posture: driver memory O(distinct values) — same bounded-domain
+    contract as exact_quantiles (quantize first for continuous columns).  A
+    heavily-dominant value funnels its rows into one partition (key-grouped
+    skew); salt + a second offset pass would split it, not needed for
+    length-like distributions.
+    """
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_pandas().dropna()
+        g = v.value_counts().rename_axis("value").reset_index(name="n")
+        g["value"] = g["value"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["value"], {"n": ("n", "sum")},
+                       num_partitions=num_partitions)
+    parts = [b for b in hist.iter_batches(batch_size=65536,
+                                          batch_format="pandas")]
+    merged = (pd.concat(parts).groupby("value", as_index=False)["n"].sum()
+              .sort_values("value")) if parts else pd.DataFrame(
+                  {"value": pd.Series([], dtype=np.int64),
+                   "n": pd.Series([], dtype=np.int64)})
+    base = dict(zip(merged["value"].to_numpy(np.int64),
+                    np.concatenate([[0], np.cumsum(
+                        merged["n"].to_numpy(np.int64))[:-1]])
+                    if len(merged) else np.array([], dtype=np.int64)))
+    base_ref = ray.put(base)
+
+    def rank_part(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(base_ref)
+        df = df.sort_values([col, id_col])
+        pos = df.groupby(col).cumcount().to_numpy(np.int64)
+        offs = df[col].map(b).to_numpy(np.int64)
+        out = df[[id_col, col]].copy()
+        out[rank_col] = offs + pos + 1
+        return out
+
+    proj = ds.map_batches(
+        lambda t: t.select([id_col, col]), batch_format="pyarrow")
+    return grouped_apply(proj, [col], rank_part,
+                         num_partitions=num_partitions)

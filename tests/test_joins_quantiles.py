@@ -243,3 +243,33 @@ class TestGroupedQuantiles:
             sub = out[out.g == g]
             for q, v in zip(sub["q"], sub["value"]):
                 assert v == sv[max(1, math.ceil(q * len(sv))) - 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGlobalRank:
+    def test_matches_pandas_row_number(self):
+        import ray.data
+        from post_ocr_corrector_ray.stages.quantiles import global_rank
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({"id": np.arange(3000, dtype=np.int64),
+                           "v": rng.integers(0, 40, 3000).astype(np.int64)})
+        for parts in (4, 9):
+            got = global_rank(ray.data.from_pandas(df), "v", "id",
+                              num_partitions=parts).to_pandas()
+            got = got.sort_values("id").reset_index(drop=True)
+            want = df.sort_values(["v", "id"]).reset_index(drop=True)
+            want["rank"] = np.arange(1, len(want) + 1, dtype=np.int64)
+            want = want.rename(columns={"id": "id", "v": "v"}) \
+                .sort_values("id").reset_index(drop=True)
+            assert got["rank"].tolist() == want["rank"].tolist()
+
+    def test_rank_is_permutation(self):
+        import ray.data
+        from post_ocr_corrector_ray.stages.quantiles import global_rank
+
+        df = pd.DataFrame({"id": np.arange(500, dtype=np.int64),
+                           "v": np.zeros(500, dtype=np.int64)})  # one hot key
+        got = global_rank(ray.data.from_pandas(df), "v", "id").to_pandas()
+        assert sorted(got["rank"]) == list(range(1, 501))
+        assert got.sort_values("id")["rank"].tolist() == list(range(1, 501))

@@ -77,6 +77,7 @@ class TestOracleParitySubset:
         # is driver-only: its oracle inlines sf0.01 centroids)
         "doc_dup_components", "doc_dedup_near", "doc_simhash_md5",
         "doc_top_tokens", "doc_token_distinct", "doc_percentile_filter",
+        "doc_simhash_candidates_md5", "doc_rank_by_length",
     ])
     def test_query_matches_oracle(self, con, name):
         import __ray_entry__ as entry
