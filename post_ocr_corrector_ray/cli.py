@@ -115,6 +115,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--text-col", default="text")
     s.add_argument("--threshold", type=float, default=0.5)
     s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--against", default=None, metavar="STORE_DIR",
+                   help="incremental ingest: dedup the new documents against "
+                        "this existing committed survivor store (ids must be "
+                        "globally unique across store and new docs); the new "
+                        "wave's survivors commit to OUT_DIR, the combined "
+                        "corpus is STORE_DIR + OUT_DIR")
 
     args = p.parse_args(argv)
 
@@ -213,18 +219,34 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"partitions_committed": len(summary),
                               "rows": int(summary["n_rows"].sum()) if len(summary) else 0}))
         elif args.cmd == "dedup":
-            from .stages.components import near_dedup
+            from .stages.components import near_dedup, near_dedup_incremental
             from .stages.dedup import minhash_duplicate_pairs
-            from .state.lineage import commit_by_key, fingerprint_inputs
+            from .state.lineage import (commit_by_key, fingerprint_inputs,
+                                        read_output_ds)
 
             docs = ray.data.read_parquet(
                 args.documents, columns=[args.id_col, args.text_col])
-            pairs = minhash_duplicate_pairs(
-                docs, text_col=args.text_col, id_col=args.id_col,
-                n_hashes=64, bands=16, k_shingle=5,
-                jaccard_threshold=args.threshold)
-            surv = near_dedup(docs, pairs, id_col=args.id_col,
-                              num_partitions=args.partitions)
+
+            def _pairs(ds):
+                return minhash_duplicate_pairs(
+                    ds, text_col=args.text_col, id_col=args.id_col,
+                    n_hashes=64, bands=16, k_shingle=5,
+                    jaccard_threshold=args.threshold)
+
+            if args.against:
+                id_col, text_col = args.id_col, args.text_col
+
+                def _proj(batch):
+                    return batch.select([id_col, text_col])
+
+                store = read_output_ds(args.against) \
+                    .map_batches(_proj, batch_format="pyarrow")
+                surv = near_dedup_incremental(
+                    docs, store, _pairs(docs.union(store)),
+                    id_col=args.id_col, num_partitions=args.partitions)
+            else:
+                surv = near_dedup(docs, _pairs(docs), id_col=args.id_col,
+                                  num_partitions=args.partitions)
             summary = commit_by_key(
                 surv, args.out_dir, key_col=args.id_col,
                 num_partitions=args.partitions,

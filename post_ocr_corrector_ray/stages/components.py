@@ -108,6 +108,23 @@ def _small_star(df: pd.DataFrame) -> pd.DataFrame:
     return out if not out.empty else _empty_edges()
 
 
+def _pin(ds: ray.data.Dataset, num_partitions: int) -> ray.data.Dataset:
+    """Materialize + coalesce a small intermediate.  Exchange cost in Ray is
+    per-TASK (block), not per-row: a 150-row set fragmented into 140 blocks
+    makes the next sort pay 140 map + 140 reduce task overheads.  Joins and
+    grouped stages inflate block counts, so every pinned intermediate is
+    coalesced back to ≤ num_partitions blocks before feeding the next
+    exchange."""
+    m = ds.materialize()
+    try:
+        blocks = m.num_blocks()
+    except Exception:
+        return m
+    if blocks and blocks > num_partitions:
+        m = m.repartition(num_partitions).materialize()
+    return m
+
+
 def _checksum(edges: ray.data.Dataset) -> tuple[int, int]:
     """(row count, order-independent 64-bit mix) of an edge set — the
     convergence fingerprint.  One tiny row per block reaches the driver."""
@@ -183,9 +200,9 @@ def connected_components(edges: ray.data.Dataset, *,
         return pa.table({"u": batch.column(u_col).cast(pa.int64()),
                          "v": batch.column(v_col).cast(pa.int64())})
 
-    cur = edges.map_batches(to_uv, batch_format="pyarrow") \
-        .map_batches(_orient_max_min, batch_format="pyarrow") \
-        .materialize()
+    cur = _pin(edges.map_batches(to_uv, batch_format="pyarrow")
+               .map_batches(_orient_max_min, batch_format="pyarrow"),
+               num_partitions)
     prev_fp = _checksum(cur)
     if prev_fp[0] == 0:
         return ray.data.from_arrow(
@@ -195,9 +212,10 @@ def connected_components(edges: ray.data.Dataset, *,
         sym = cur.map_batches(_symmetrize, batch_format="pyarrow")
         large = grouped_apply(sym, ["u"], _large_star,
                               num_partitions=num_partitions)
-        small = grouped_apply(
+        small = _pin(grouped_apply(
             large.map_batches(_orient_max_min, batch_format="pyarrow"),
-            ["u"], _small_star, num_partitions=num_partitions).materialize()
+            ["u"], _small_star, num_partitions=num_partitions),
+            num_partitions)
         fp = _checksum(small)
         converged = (fp == prev_fp
                      and _is_star_forest(small, num_partitions=num_partitions))
@@ -264,4 +282,83 @@ def near_dedup(docs: ray.data.Dataset, pairs: ray.data.Dataset, *,
 
     discard = comp.map_batches(losers, batch_format="pyarrow")
     return hash_join(docs, discard, on=id_col, how="anti",
+                     num_partitions=num_partitions)
+
+
+def near_dedup_incremental(new_docs: ray.data.Dataset,
+                           store_ids: ray.data.Dataset,
+                           pairs: ray.data.Dataset, *,
+                           id_col: str = "doc_id", u_col: str = "id_a",
+                           v_col: str = "id_b",
+                           num_partitions: int = DEFAULT_PARTITIONS
+                           ) -> ray.data.Dataset:
+    """Append-only ingest dedup: keep the new documents that survive against
+    an EXISTING deduped store.
+
+    ``pairs`` must be the verified near-dup pairs over the UNION of store and
+    new documents (ids globally unique across both sets).  Semantics: a new
+    document is dropped iff its connected component contains any store
+    document (the store is authoritative and never modified), else the
+    component's min-id new document survives and the rest drop.  Transitive
+    chains through new documents into the store therefore drop the whole
+    chain — the same closure the one-shot ``near_dedup`` would have produced
+    had all documents arrived together.
+
+    All set logic runs through the co-partitioned exchanges over the tiny
+    clustered-node rows; nothing is collected on the driver.  Scale note:
+    this recomputes store signatures from payloads — a production ingest
+    loop would persist the store's band/signature rows next to the survivor
+    store (they are deterministic) and reuse them; the clustering and
+    survivor logic here is unchanged by that optimization.
+    """
+    from .joins import hash_join
+    from .shuffle import grouped_agg
+
+    # every intermediate below is O(clustered nodes) — tiny next to the
+    # corpus — and is pinned with materialize() so each co-partitioned
+    # exchange runs as its own small plan instead of one deep union+sort DAG
+    # (which the streaming executor schedules poorly under few CPUs); only
+    # the final anti join over the full new_docs streams.
+    comp = connected_components(pairs, u_col=u_col, v_col=v_col,
+                                num_partitions=num_partitions)
+
+    def _nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch.column("node").cast(pa.int64()),
+                         "component": batch.column("component").cast(pa.int64())})
+
+    comp_rows = _pin(comp.map_batches(_nodes, batch_format="pyarrow"),
+                     num_partitions)
+    # components containing ≥1 store doc
+    old_rows = _pin(hash_join(comp_rows, store_ids, on=id_col, how="semi",
+                              num_partitions=num_partitions), num_partitions)
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        return pa.table({"component": batch.column("component").cast(pa.int64()),
+                         "n_old": pa.array(np.ones(batch.num_rows, np.int64))})
+
+    flagged = grouped_agg(old_rows.map_batches(_flag, batch_format="pyarrow"),
+                          ["component"], {"n_old": ("n_old", "sum")},
+                          num_partitions=num_partitions)
+    flagged = _pin(flagged, num_partitions)
+    # clustered NEW nodes = comp rows minus store rows
+    new_rows = _pin(hash_join(comp_rows, store_ids, on=id_col, how="anti",
+                              num_partitions=num_partitions), num_partitions)
+    # drop new nodes in store-flagged components
+    unflagged = hash_join(new_rows, flagged, on="component", how="anti",
+                          num_partitions=num_partitions)
+
+    def _min_new(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("component", as_index=False)[id_col].min()
+        return g[[id_col]]
+
+    winners = _pin(grouped_apply(unflagged, ["component"], _min_new,
+                                 num_partitions=num_partitions),
+                   num_partitions)
+    # losers = every clustered new node that is not a winner
+    losers = _pin(hash_join(
+        new_rows.map_batches(
+            lambda t: t.select([id_col]), batch_format="pyarrow"),
+        winners, on=id_col, how="anti",
+        num_partitions=num_partitions), num_partitions)
+    return hash_join(new_docs, losers, on=id_col, how="anti",
                      num_partitions=num_partitions)

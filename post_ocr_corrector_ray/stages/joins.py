@@ -31,18 +31,24 @@ from .shuffle import DEFAULT_PARTITIONS, grouped_apply
 _SIDE = "_side"
 
 
-def _pad_to(schema: pa.Schema, side: int):
+def _pad_to(schema: pa.Schema, side: int, renames: dict[str, str] | None = None):
     """Batch fn: project/null-pad an input batch onto the harmonized union
-    schema and stamp the side tag."""
+    schema (applying ``renames`` source→target in place — NOT
+    ``rename_columns``/``select_columns``: Ray's Project operator cannot run
+    over the pandas blocks that grouped map_groups stages emit, so joins of
+    join/aggregate outputs would die; a plain batch projection handles any
+    block type) and stamp the side tag."""
+    rev = {v: k for k, v in (renames or {}).items()}  # target → source
 
     def pad(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         cols = {}
         for f in schema:
+            src = rev.get(f.name, f.name)
             if f.name == _SIDE:
                 cols[f.name] = pa.array(np.full(n, side, dtype=np.int8), pa.int8())
-            elif f.name in batch.column_names:
-                cols[f.name] = batch.column(f.name).cast(f.type)
+            elif src in batch.column_names:
+                cols[f.name] = batch.column(src).cast(f.type)
             else:
                 cols[f.name] = pa.nulls(n, f.type)
         return pa.table(cols)
@@ -50,12 +56,30 @@ def _pad_to(schema: pa.Schema, side: int):
     return pad
 
 
+def _renamed_schema(ds: ray.data.Dataset, renames: dict[str, str]) -> pa.Schema:
+    """Schema of ``ds`` with ``renames`` applied — computed from metadata, no
+    Project operator in the plan."""
+    s = ds.schema()
+    return pa.schema([pa.field(renames.get(n, n), t)
+                      for n, t in zip(s.names, s.types)])
+
+
 def _union_tagged(left: ray.data.Dataset, right: ray.data.Dataset,
-                  right_renames: dict[str, str]) -> tuple[ray.data.Dataset, list[str], list[str]]:
-    """Rename the right side's columns, build the harmonized schema, and union
-    the two tagged datasets.  Returns (union_ds, left_cols, right_cols)."""
-    right = right.rename_columns(right_renames)
-    ls, rs = left.schema(), right.schema()
+                  right_renames: dict[str, str],
+                  right_keep: list[str] | None = None,
+                  left_keep: list[str] | None = None
+                  ) -> tuple[ray.data.Dataset, list[str], list[str]]:
+    """Harmonize schemas (with the right side's columns renamed, and either
+    side optionally restricted to ``*_keep``) and union the two tagged
+    datasets.  Returns (union_ds, left_cols, right_cols)."""
+    ls = left.schema()
+    if left_keep is not None:
+        ls = pa.schema([pa.field(n, ls.types[ls.names.index(n)])
+                        for n in left_keep])
+    rs = _renamed_schema(right, right_renames)
+    if right_keep is not None:
+        rs = pa.schema([pa.field(n, rs.types[rs.names.index(n)])
+                        for n in right_keep])
     left_cols = list(ls.names)
     right_cols = [c for c in rs.names if c not in left_cols]
     # integer columns unique to one side are null on the other side's rows;
@@ -74,7 +98,8 @@ def _union_tagged(left: ray.data.Dataset, right: ray.data.Dataset,
                for n in right_cols]
     schema = pa.schema(fields)
     tagged_l = left.map_batches(_pad_to(schema, 0), batch_format="pyarrow")
-    tagged_r = right.map_batches(_pad_to(schema, 1), batch_format="pyarrow")
+    tagged_r = right.map_batches(_pad_to(schema, 1, right_renames),
+                                 batch_format="pyarrow")
     return tagged_l.union(tagged_r), left_cols, right_cols
 
 
@@ -94,13 +119,13 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     keep = [right_by, right_on] + [c for c in right_cols if c not in (right_by, right_on)]
     if tie_col not in keep:
         keep.append(tie_col)
-    right = right.select_columns(keep)
     tie_out = right_cols.get(tie_col, tie_col)
     renames.update({src: dst for src, dst in right_cols.items()
                     if src not in (right_by, right_on)})
     if tie_col not in right_cols and tie_col not in (right_by, right_on):
         renames[tie_col] = tie_out
-    both, left_cols, extra_cols = _union_tagged(left, right, renames)
+    both, left_cols, extra_cols = _union_tagged(
+        left, right, renames, right_keep=[renames.get(c, c) for c in keep])
     out_right = [right_cols[c] for c in right_cols if c not in (right_by, right_on)]
     # null-padding integer columns through the union makes them float in
     # pandas; left-side values are never null there, so restoring the
@@ -145,9 +170,9 @@ def interval_count_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     span for millions of per-partition keys); a wider layout would switch to
     per-key offset slicing."""
     lcols = [left_id, left_key, left_start]
-    right = right.select_columns([right_key, right_ts])
     renames = {right_key: left_key, right_ts: "_rts"}
-    both, _, _ = _union_tagged(left.select_columns(lcols), right, renames)
+    both, _, _ = _union_tagged(left, right, renames,
+                               right_keep=[left_key, "_rts"], left_keep=lcols)
     win_us = int(window / np.timedelta64(1, "us"))
 
     def count(df: pd.DataFrame) -> pd.DataFrame:
@@ -198,11 +223,21 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     """
     if how not in ("inner", "semi", "anti"):
         raise ValueError(f"hash_join: unsupported how={how!r}")
+    # a fully-empty upstream (e.g. a grouped aggregate over zero rows) has no
+    # schema at all — or an empty block schema without the key column;
+    # resolve such joins without an exchange
+    ls_raw, rs_raw = left.schema(), right.schema()
+    if ls_raw is None or on not in (ls_raw.names or []):
+        return left
+    if rs_raw is None or (right_on or on) not in (rs_raw.names or []):
+        return left if how == "anti" else left.limit(0)
     renames = {right_on or on: on}
+    right_keep = None
     if how in ("semi", "anti"):
         # existence checks only need the key — drop right payload before the
-        # exchange (less shuffle traffic, and collisions become impossible)
-        right = right.select_columns([right_on or on])
+        # exchange (less shuffle traffic, and collisions become impossible);
+        # restriction happens inside the pad stage, not via select_columns
+        right_keep = [on]
     else:
         clash = (set(left.schema().names)
                  & {renames.get(n, n) for n in right.schema().names}) - {on}
@@ -211,12 +246,13 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             # the harmonized union — refuse instead
             raise ValueError(f"hash_join: column name collision {sorted(clash)}; "
                              f"rename before joining")
-    both, left_cols, right_cols = _union_tagged(left, right, renames)
+    both, left_cols, right_cols = _union_tagged(left, right, renames,
+                                                right_keep=right_keep)
     left_int = {n: t.to_pandas_dtype() for n, t in
                 zip(left.schema().names, left.schema().types)
                 if pa.types.is_integer(t)}
     right_int = {}
-    rs = right.rename_columns(renames).schema()
+    rs = _renamed_schema(right, renames)
     for n, t in zip(rs.names, rs.types):
         if n in right_cols and pa.types.is_integer(t):
             right_int[n] = t.to_pandas_dtype()

@@ -205,3 +205,19 @@ def read_output(out_dir: str) -> pa.Table:
     if not tables:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
     return pa.concat_tables(tables)
+
+
+def read_output_ds(out_dir: str):
+    """Committed partitions as a streaming Dataset (parquet-format stores) —
+    the scale-safe twin of ``read_output``: partitions are read lazily by Ray
+    tasks, never concatenated on the driver."""
+    import ray.data
+
+    paths = []
+    for p in sorted(committed_partitions(out_dir)):
+        fp = os.path.join(partition_dir(out_dir, p), "data.parquet")
+        if os.path.exists(fp):
+            paths.append(fp)
+    if not paths:
+        raise FileNotFoundError(f"no committed parquet partitions under {out_dir}")
+    return ray.data.read_parquet(paths)

@@ -113,3 +113,67 @@ from hypothesis import given, settings, strategies as st
 def test_cc_property_matches_union_find(ray_session, edges, parts):
     edges = [(a, b) for a, b in edges if a != b]
     assert _run_cc(edges, num_partitions=parts) == _union_find_components(edges)
+
+
+def _incr_oracle(new_ids, old_ids, edges):
+    """Expected incremental-dedup survivors by union-find: drop new docs in
+    any component containing a store doc; else keep the min-id new doc."""
+    comp = _union_find_components(edges)
+    groups = {}
+    for node, c in comp.items():
+        groups.setdefault(c, []).append(node)
+    drop = set()
+    for members in groups.values():
+        if any(m in old_ids for m in members):
+            drop.update(m for m in members if m in new_ids)
+        else:
+            news = sorted(m for m in members if m in new_ids)
+            drop.update(news[1:])
+    return sorted(set(new_ids) - drop)
+
+
+def test_near_dedup_incremental(ray_session):
+    import ray.data
+    from post_ocr_corrector_ray.stages.components import near_dedup_incremental
+
+    old_ids = {100, 101, 102}
+    new_ids = set(range(1, 20))
+    # 1-100 (into store), 2-1 (chain into store through new), 5-7-9 (new-only
+    # cluster), 11 pairs with store 102, isolated news
+    edges = [(1, 100), (2, 1), (5, 7), (7, 9), (11, 102)]
+    docs = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(sorted(new_ids), pa.int64())}))
+    store = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(sorted(old_ids), pa.int64())}))
+    pairs = ray.data.from_arrow(pa.table(
+        {"id_a": pa.array([a for a, _ in edges], pa.int64()),
+         "id_b": pa.array([b for _, b in edges], pa.int64())}))
+    surv = sorted(near_dedup_incremental(docs, store, pairs, num_partitions=4)
+                  .to_pandas()["doc_id"].tolist())
+    want = _incr_oracle(new_ids, old_ids, edges)
+    assert surv == want
+    # explicit: 1,2 drop (store chain); 11 drops; of {5,7,9} only 5 survives
+    assert 1 not in surv and 2 not in surv and 11 not in surv
+    assert 5 in surv and 7 not in surv and 9 not in surv
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                min_size=0, max_size=50))
+def test_near_dedup_incremental_property(ray_session, raw_edges):
+    import ray.data
+    from post_ocr_corrector_ray.stages.components import near_dedup_incremental
+
+    old_ids = set(range(30, 41))
+    new_ids = set(range(0, 30))
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    docs = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(sorted(new_ids), pa.int64())}))
+    store = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(sorted(old_ids), pa.int64())}))
+    pairs = ray.data.from_arrow(pa.table(
+        {"id_a": pa.array([a for a, _ in edges], pa.int64()),
+         "id_b": pa.array([b for _, b in edges], pa.int64())}))
+    surv = sorted(near_dedup_incremental(docs, store, pairs, num_partitions=3)
+                  .to_pandas()["doc_id"].tolist())
+    assert surv == _incr_oracle(new_ids, old_ids, edges)
