@@ -250,6 +250,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # global ROW_NUMBER without a global sort (histogram base offsets +
         # one value-keyed exchange — stages/quantiles.py::global_rank)
         "doc_rank_by_length": lambda sf: D.doc_rank_by_length(sf),
+        # training-corpus preparation (stages/corpusprep.py): Gopher-style
+        # repetition stats + filter, benchmark decontamination (broadcast
+        # 5-gram membership), unigram-LM familiarity (broadcast train vocab),
+        # temperature sampling weights (aggregate → broadcast → map)
+        "doc_repetition_stats": D.doc_repetition_stats,
+        "doc_repetition_filter": D.doc_repetition_filter,
+        "doc_contamination": lambda sf: D.doc_contamination(sf),
+        "doc_token_familiarity": lambda sf: D.doc_token_familiarity(sf),
+        "doc_lang_weights": lambda sf: D.doc_lang_weights(sf),
     }
 
 
@@ -466,6 +475,45 @@ _SIMHASH_MD5_SQL = r"""
               CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS b)
               GROUP BY doc_id, b)
             GROUP BY doc_id"""
+
+
+# Gopher-style word-level repetition statistics: every ratio is an
+# int/int → IEEE-double division, bit-identical between NumPy and DuckDB
+_REPETITION_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), words AS (
+      SELECT doc_id, unnest(t) AS w FROM toks
+    ), wagg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+             CAST(count(DISTINCT w) AS BIGINT) AS nd
+      FROM words GROUP BY doc_id
+    ), wtop AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS topc
+      FROM (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w)
+      GROUP BY doc_id
+    ), grams AS (
+      SELECT doc_id,
+             t[CAST(g AS BIGINT)] || ' ' || t[CAST(g AS BIGINT) + 1] AS gram
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS g
+            FROM toks WHERE len(t) >= 2)
+    ), gagg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n2,
+             CAST(count(DISTINCT gram) AS BIGINT) AS nd2
+      FROM grams GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(w.nw, 0) AS n_words,
+           COALESCE((w.nw - w.nd) * 1.0 / w.nw, 0.0) AS dup_word_frac,
+           COALESCE(t.topc * 1.0 / w.nw, 0.0) AS top_word_frac,
+           COALESCE(g.n2, 0) AS n_2grams,
+           COALESCE((g.n2 - g.nd2) * 1.0 / g.n2, 0.0) AS dup_2gram_frac
+    FROM documents d
+    LEFT JOIN wagg w USING (doc_id)
+    LEFT JOIN wtop t USING (doc_id)
+    LEFT JOIN gagg g USING (doc_id)"""
 
 
 # shared prefix for the near-dup clustering oracles: exact-Jaccard ≥ 0.5
@@ -818,6 +866,72 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT node, least(node, min(r)) AS component
                     FROM reach GROUP BY node)
               WHERE node <> component)""",
+        "doc_repetition_stats": _REPETITION_SQL,
+        "doc_repetition_filter": f"""
+            SELECT doc_id FROM ({_REPETITION_SQL})
+            WHERE dup_2gram_frac <= 0.05 AND top_word_frac <= 0.12""",
+        # word-5-gram decontamination of non-test docs vs the test split's
+        # distinct grams (same short-doc convention as the n-gram Jaccard
+        # oracle: < 5 words → ONE whole-text gram)
+        "doc_contamination": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                         x -> x <> '') AS t
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(t) < 5 THEN array_to_string(t, ' ')
+                          ELSE array_to_string(
+                               t[CAST(g AS BIGINT):CAST(g AS BIGINT) + 4], ' ')
+                     END AS gram
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, greatest(len(t) - 4, 1))) AS g
+                    FROM toks)
+            ), bench AS (
+              SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0
+            ), agg AS (
+              SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hit
+              FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+              WHERE g.doc_id % 10 <> 0
+              GROUP BY g.doc_id
+            )
+            SELECT doc_id, n_grams, n_hit, n_hit * 1.0 / n_grams AS hit_frac
+            FROM agg""",
+        # unigram familiarity vs the train split's (doc_id%10 ∉ {0,9}) token
+        # frequencies; integer sums/counts → exact double division
+        "doc_token_familiarity": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents
+            ), freq AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS f
+              FROM words WHERE doc_id % 10 NOT IN (0, 9) GROUP BY w
+            ), agg AS (
+              SELECT wo.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(CASE WHEN fr.f IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_oov,
+                     CAST(sum(COALESCE(fr.f, 0)) AS BIGINT) * 1.0 / count(*)
+                         AS mean_train_freq
+              FROM words wo LEFT JOIN freq fr ON wo.w = fr.w
+              GROUP BY wo.doc_id
+            )
+            SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+                   COALESCE(a.n_oov, 0) AS n_oov,
+                   COALESCE(a.mean_train_freq, 0.0) AS mean_train_freq
+            FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        # temperature (alpha=0.5) sampling weights per language; sqrt on both
+        # sides, round(,6) absorbs the Σ fp-ordering ulp
+        "doc_lang_weights": """
+            WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS c
+                       FROM documents GROUP BY lang)
+            SELECT d.doc_id, d.lang,
+                   round(sqrt(g.c) / (SELECT sum(sqrt(c)) FROM g) / g.c, 6)
+                       AS doc_weight
+            FROM documents d JOIN g USING (lang)""",
     }
     # the IVF oracle inlines centroids derived from the driver's sf0.01
     # correctness fixture; if that fixture is absent (other deployments),

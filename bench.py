@@ -97,6 +97,8 @@ def run_benchmarks() -> dict:
         "doc_dup_components", "doc_dedup_near", "doc_top_tokens",
         "doc_token_distinct", "doc_token_distinct_hll",
         "doc_percentile_filter", "doc_rank_by_length",
+        "doc_repetition_stats", "doc_contamination",
+        "doc_token_familiarity", "doc_lang_weights",
     ]
     qs = entry.queries()
     for name in bench_queries:

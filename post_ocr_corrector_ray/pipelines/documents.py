@@ -423,6 +423,132 @@ def doc_simhash_candidates_md5(sf_dir: str) -> ray.data.Dataset:
                                  sig_batch_fn=dd.simhash_md5_batch)
 
 
+def _filter_by_split_remainder(ds: ray.data.Dataset,
+                               keep_remainders: tuple[int, ...]
+                               ) -> ray.data.Dataset:
+    """Vectorized doc_id%10 split filter (reference split mapping: 9→val,
+    0→test, else train — pipelines/corpus.py::pick_split)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        rem = batch.column("doc_id").to_numpy() % 10
+        return batch.filter(pa.array(np.isin(rem, keep_remainders)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def doc_repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style word-level repetition statistics per document
+    (stages/corpusprep.py) — pure vectorized map, exact SQL twin."""
+    from ..stages import corpusprep as cp
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        cp.repetition_stats_batch, batch_format="pyarrow")
+
+
+def doc_repetition_filter(sf_dir: str) -> ray.data.Dataset:
+    """Repetition-based quality filter: keep documents under the duplicate-
+    2-gram and top-word-fraction ceilings (thresholds sit at ≈p75/p85 of the
+    synthetic corpus so the filter genuinely splits it)."""
+    stats = doc_repetition_stats(sf_dir)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.less_equal(batch.column("dup_2gram_frac"), 0.05),
+                       pc.less_equal(batch.column("top_word_frac"), 0.12))
+        return batch.filter(mask).select(["doc_id"])
+
+    return stats.map_batches(keep, batch_format="pyarrow")
+
+
+def doc_contamination(sf_dir: str, n_gram: int = 5) -> ray.data.Dataset:
+    """Benchmark decontamination: score every non-test document's word-5-gram
+    overlap against the test split's distinct grams.
+
+    Scale shape: the benchmark side is SMALL by definition (a curated eval
+    suite), so its distinct grams are collected once and broadcast via
+    ``ray.put`` (read per actor in ``ContaminationStage.__init__``) — a
+    broadcast membership join, not a shuffle.  The corpus side streams."""
+    import ray
+
+    from ..stages import corpusprep as cp
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bench_parts = _filter_by_split_remainder(docs, (0,)).map_batches(
+        cp.distinct_grams_batch, batch_format="pyarrow",
+        fn_kwargs=dict(n_gram=n_gram))
+    uniq: set[str] = set()
+    for b in bench_parts.iter_batches(batch_format="pyarrow"):
+        uniq.update(b.column("gram").to_pylist())
+    bench_ref = ray.put(pa.array(sorted(uniq), pa.string()))
+    scored = _filter_by_split_remainder(docs, (1, 2, 3, 4, 5, 6, 7, 8, 9))
+    return scored.map_batches(
+        cp.ContaminationStage, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(bench_ref=bench_ref, n_gram=n_gram),
+        batch_size=256, concurrency=(1, 4), num_cpus=1)
+
+
+def doc_token_familiarity(sf_dir: str) -> ray.data.Dataset:
+    """Unigram-LM familiarity scoring: mean train-split token frequency +
+    OOV count per document.  The train vocabulary is built with the
+    pre-aggregated token exchange (pipelines/corpus.py::token_counts) and
+    broadcast once (the dictionary-corrector small-side pattern)."""
+    import ray
+
+    from ..stages import corpusprep as cp
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    train = _filter_by_split_remainder(docs, (1, 2, 3, 4, 5, 6, 7, 8))
+    counts = token_counts(train, text_col="text", split=None)
+    toks: list[str] = []
+    freqs: list[int] = []
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        toks.extend(b.column("token").to_pylist())
+        freqs.extend(b.column("frequency").to_pylist())
+    order = np.argsort(np.array(toks, dtype=object))
+    vocab_ref = ray.put((pa.array(np.array(toks, dtype=object)[order], type=pa.string()),
+                         np.array(freqs, dtype=np.int64)[order]))
+    return docs.map_batches(
+        cp.FamiliarityStage, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(vocab_ref=vocab_ref),
+        batch_size=256, concurrency=(1, 4), num_cpus=1)
+
+
+def doc_lang_weights(sf_dir: str, alpha: float = 0.5) -> ray.data.Dataset:
+    """Temperature sampling weights for corpus mixing: per-language counts →
+    w_lang = cnt^alpha / Σ cnt^alpha → per-doc weight w_lang / cnt, rounded
+    to 6 dp (the SQL twin rounds identically).  Counts are per-batch partials
+    merged on the driver (≤ #languages rows); the weight map is a tiny
+    broadcast into a vectorized map — no shuffle anywhere."""
+    from ..stages.corpusprep import temperature_weights
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column("lang").value_counts()
+        return pa.table({"lang": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    merged: dict[str, int] = {}
+    for b in docs.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for lang, cnt in zip(b.column("lang").to_pylist(),
+                             b.column("n").to_pylist()):
+            merged[lang] = merged.get(lang, 0) + cnt
+    w = temperature_weights(merged, alpha=alpha)
+    langs = sorted(merged)
+    weight_arr = np.round(np.array([w[lang] / merged[lang] for lang in langs]),
+                          6)
+    lang_vals = pa.array(langs, pa.string())
+
+    def apply(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch.column("lang"), value_set=lang_vals) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang": batch.column("lang"),
+                         "doc_weight": pa.array(weight_arr[idx], pa.float64())})
+
+    return docs.map_batches(apply, batch_format="pyarrow")
+
+
 def doc_rank_by_length(sf_dir: str) -> ray.data.Dataset:
     """Global ROW_NUMBER over the corpus ordered by (n_chars, doc_id) —
     histogram base offsets + ONE value-keyed exchange, no global sort

@@ -78,6 +78,9 @@ class TestOracleParitySubset:
         "doc_dup_components", "doc_dedup_near", "doc_simhash_md5",
         "doc_top_tokens", "doc_token_distinct", "doc_percentile_filter",
         "doc_simhash_candidates_md5", "doc_rank_by_length",
+        # training-corpus preparation (stages/corpusprep.py)
+        "doc_repetition_stats", "doc_repetition_filter", "doc_contamination",
+        "doc_token_familiarity", "doc_lang_weights",
     ])
     def test_query_matches_oracle(self, con, name):
         import __ray_entry__ as entry
