@@ -259,6 +259,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contamination": lambda sf: D.doc_contamination(sf),
         "doc_token_familiarity": lambda sf: D.doc_token_familiarity(sf),
         "doc_lang_weights": lambda sf: D.doc_lang_weights(sf),
+        # cross-document exact span dedup (C4 / Lee et al. 2022 family):
+        # gram-keyed removal exchange + doc-keyed rebuild — stages/spandedup.py
+        "doc_span_dedup": lambda sf: D.doc_span_dedup(sf),
     }
 
 
@@ -932,6 +935,51 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(g.c) / (SELECT sum(sqrt(c)) FROM g) / g.c, 6)
                        AS doc_weight
             FROM documents d JOIN g USING (lang)""",
+        # cross-document exact span dedup, k=8: grams with ≥2 distinct docs
+        # are removed everywhere except the min-doc_id keeper; covered word
+        # positions are the union of [pos, pos+8) intervals; clean_text is the
+        # position-ordered join of survivors (hash-matched byte-for-byte)
+        "doc_span_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                         x -> x <> '') AS t
+              FROM documents
+            ), words AS (
+              SELECT doc_id, CAST(g AS BIGINT) AS pos, t[CAST(g AS BIGINT)] AS w
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS g
+                    FROM toks WHERE len(t) >= 1)
+            ), grams AS (
+              SELECT doc_id, CAST(g AS BIGINT) AS pos,
+                     array_to_string(t[CAST(g AS BIGINT):CAST(g AS BIGINT) + 7],
+                                     ' ') AS gram
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 7)) AS g
+                    FROM toks WHERE len(t) >= 8)
+            ), gstats AS (
+              SELECT gram, count(DISTINCT doc_id) AS nd,
+                     min(doc_id) AS keeper
+              FROM grams GROUP BY gram
+            ), rem AS (
+              SELECT g.doc_id, g.pos
+              FROM grams g JOIN gstats s USING (gram)
+              WHERE s.nd >= 2 AND g.doc_id <> s.keeper
+            ), cov AS (
+              SELECT DISTINCT r.doc_id, r.pos + o.o AS pos
+              FROM rem r, generate_series(0, 7) AS o(o)
+            ), kept AS (
+              SELECT w.doc_id, w.pos, w.w
+              FROM words w LEFT JOIN cov c
+                ON w.doc_id = c.doc_id AND w.pos = c.pos
+              WHERE c.pos IS NULL
+            ), agg AS (
+              SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+                     CAST(count(*) AS BIGINT) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+                   CAST(len(t.t) AS BIGINT) AS n_words,
+                   CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+            FROM toks t LEFT JOIN agg a USING (doc_id)""",
     }
     # the IVF oracle inlines centroids derived from the driver's sf0.01
     # correctness fixture; if that fixture is absent (other deployments),

@@ -549,6 +549,17 @@ def doc_lang_weights(sf_dir: str, alpha: float = 0.5) -> ray.data.Dataset:
     return docs.map_batches(apply, batch_format="pyarrow")
 
 
+def doc_span_dedup(sf_dir: str, k: int = 8) -> ray.data.Dataset:
+    """Cross-document exact span dedup (stages/spandedup.py): remove every
+    word-k-gram occurring in ≥2 documents except the copy in the lowest
+    doc_id, and rebuild each document from its surviving words.  Two coarse
+    exchanges (gram-keyed removal detection, doc-keyed reconstruction); exact
+    DuckDB twin hash-matches clean_text itself."""
+    from ..stages.spandedup import span_dedup
+
+    return span_dedup(_docs(sf_dir, ["doc_id", "text"]), k=k)
+
+
 def doc_rank_by_length(sf_dir: str) -> ray.data.Dataset:
     """Global ROW_NUMBER over the corpus ordered by (n_chars, doc_id) —
     histogram base offsets + ONE value-keyed exchange, no global sort

@@ -81,6 +81,8 @@ class TestOracleParitySubset:
         # training-corpus preparation (stages/corpusprep.py)
         "doc_repetition_stats", "doc_repetition_filter", "doc_contamination",
         "doc_token_familiarity", "doc_lang_weights",
+        # cross-document exact span dedup (stages/spandedup.py)
+        "doc_span_dedup",
     ])
     def test_query_matches_oracle(self, con, name):
         import __ray_entry__ as entry
