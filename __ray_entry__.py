@@ -262,6 +262,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-document exact span dedup (C4 / Lee et al. 2022 family):
         # gram-keyed removal exchange + doc-keyed rebuild — stages/spandedup.py
         "doc_span_dedup": lambda sf: D.doc_span_dedup(sf),
+        # sequence packing via distributed exclusive prefix sum (range-bucket
+        # base offsets + ONE bucket-keyed exchange — stages/packing.py)
+        "doc_pack_assignments": lambda sf: D.doc_pack_assignments(sf),
     }
 
 
@@ -980,6 +983,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(t.t) AS BIGINT) AS n_words,
                    CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
             FROM toks t LEFT JOIN agg a USING (doc_id)""",
+        # sequence packing, budget 512 words: pack_id = exclusive running
+        # word total in doc_id order, integer-divided by the budget
+        "doc_pack_assignments": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                          x -> x <> '')) AS BIGINT) AS n_words
+              FROM documents
+            )
+            SELECT doc_id, n_words,
+                   CAST(COALESCE(SUM(n_words) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) // 512 AS BIGINT) AS pack_id
+            FROM w""",
     }
     # the IVF oracle inlines centroids derived from the driver's sf0.01
     # correctness fixture; if that fixture is absent (other deployments),

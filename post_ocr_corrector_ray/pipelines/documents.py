@@ -560,6 +560,23 @@ def doc_span_dedup(sf_dir: str, k: int = 8) -> ray.data.Dataset:
     return span_dedup(_docs(sf_dir, ["doc_id", "text"]), k=k)
 
 
+def doc_pack_assignments(sf_dir: str, budget: int = 512) -> ray.data.Dataset:
+    """Sequence packing (stages/packing.py): documents laid end-to-end in
+    doc_id order are assigned to fixed-word-budget training packs via the
+    distributed exclusive prefix sum — SQL twin is a window SUM."""
+    from ..stages.packing import pack_assignments
+    from ..stages.textstats import _split_words
+
+    def wc(batch: pa.Table) -> pa.Table:
+        _, counts = _split_words(batch.column("text").combine_chunks())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_words": pa.array(counts, pa.int64())})
+
+    stats = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        wc, batch_format="pyarrow")
+    return pack_assignments(stats, "doc_id", "n_words", budget=budget)
+
+
 def doc_rank_by_length(sf_dir: str) -> ray.data.Dataset:
     """Global ROW_NUMBER over the corpus ordered by (n_chars, doc_id) —
     histogram base offsets + ONE value-keyed exchange, no global sort

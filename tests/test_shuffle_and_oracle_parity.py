@@ -83,6 +83,8 @@ class TestOracleParitySubset:
         "doc_token_familiarity", "doc_lang_weights",
         # cross-document exact span dedup (stages/spandedup.py)
         "doc_span_dedup",
+        # sequence packing via distributed prefix sum (stages/packing.py)
+        "doc_pack_assignments",
     ])
     def test_query_matches_oracle(self, con, name):
         import __ray_entry__ as entry
