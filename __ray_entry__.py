@@ -265,6 +265,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequence packing via distributed exclusive prefix sum (range-bucket
         # base offsets + ONE bucket-keyed exchange — stages/packing.py)
         "doc_pack_assignments": lambda sf: D.doc_pack_assignments(sf),
+        # deterministic global training shuffle: ROW_NUMBER over md5(doc_id)
+        # via hash-prefix histogram offsets, no global sort
+        "doc_shuffle_order": lambda sf: D.doc_shuffle_order(sf),
     }
 
 
@@ -997,6 +1000,15 @@ def oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                             0) // 512 AS BIGINT) AS pack_id
             FROM w""",
+        # deterministic global shuffle: permutation position by md5 of the
+        # decimal doc_id (hex-lexicographic order == the engine's
+        # (16-bit-prefix histogram, full-digest tiebreak) order)
+        "doc_shuffle_order": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                        AS BIGINT) AS shuffle_rank
+            FROM documents""",
     }
     # the IVF oracle inlines centroids derived from the driver's sf0.01
     # correctness fixture; if that fixture is absent (other deployments),

@@ -99,7 +99,7 @@ def run_benchmarks() -> dict:
         "doc_percentile_filter", "doc_rank_by_length",
         "doc_repetition_stats", "doc_contamination",
         "doc_token_familiarity", "doc_lang_weights", "doc_span_dedup",
-        "doc_pack_assignments",
+        "doc_pack_assignments", "doc_shuffle_order",
     ]
     qs = entry.queries()
     for name in bench_queries:

@@ -585,3 +585,34 @@ def doc_rank_by_length(sf_dir: str) -> ray.data.Dataset:
 
     return global_rank(_docs(sf_dir, ["doc_id", "n_chars"]),
                        "n_chars", "doc_id")
+
+
+def doc_shuffle_order(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic global training shuffle: every document's position in a
+    pseudorandom permutation, computed as ROW_NUMBER over md5(doc_id) with NO
+    global sort — the 16-bit hash prefix is the bounded histogram domain for
+    global_rank's base offsets, and the full hex digest breaks ties inside a
+    prefix bucket (hex-lexicographic == numeric on the prefix, so engine and
+    SQL agree).  The standard "shuffle once, shard deterministically" step of
+    an LLM training data pipeline; md5 is reproducible across runs/machines
+    (unlike seeded RNG state tied to block layout).  Per-row md5 of a short
+    id string is the same C-speed hashlib loop the exact-dedup content_hash
+    uses."""
+    import hashlib
+
+    from ..stages.quantiles import global_rank
+
+    def h(batch: pa.Table) -> pa.Table:
+        hx = [hashlib.md5(str(i).encode()).hexdigest()
+              for i in batch.column("doc_id").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "h16": pa.array([int(x[:4], 16) for x in hx], pa.int64()),
+            "hash_hex": pa.array(hx, pa.string()),
+        })
+
+    ranked = global_rank(
+        _docs(sf_dir, ["doc_id"]).map_batches(h, batch_format="pyarrow"),
+        "h16", "doc_id", tie_cols=["hash_hex"], rank_col="shuffle_rank")
+    return ranked.map_batches(
+        lambda t: t.select(["doc_id", "shuffle_rank"]), batch_format="pyarrow")

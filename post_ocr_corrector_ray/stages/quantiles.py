@@ -101,12 +101,14 @@ def grouped_exact_quantiles(ds: ray.data.Dataset, col: str, group_col: str,
 
 
 def global_rank(ds: ray.data.Dataset, col: str, id_col: str, *,
-                rank_col: str = "rank",
+                rank_col: str = "rank", tie_cols: list[str] | None = None,
                 num_partitions: int = DEFAULT_PARTITIONS) -> ray.data.Dataset:
-    """Distributed ROW_NUMBER() OVER (ORDER BY col, id_col) WITHOUT a global
-    sort: the mergeable value-histogram gives each distinct ``col`` value its
-    base offset (tiny driver cumsum, broadcast once via ``ray.put``), then ONE
-    value-keyed exchange ranks rows inside each value group by ``id_col``.
+    """Distributed ROW_NUMBER() OVER (ORDER BY col, *tie_cols, id_col) WITHOUT
+    a global sort: the mergeable value-histogram gives each distinct ``col``
+    value its base offset (tiny driver cumsum, broadcast once via ``ray.put``),
+    then ONE value-keyed exchange ranks rows inside each value group by
+    ``tie_cols + [id_col]`` (``tie_cols`` lets a coarse histogram value — e.g.
+    a hash prefix — carry a finer in-group order).
 
     Scale posture: driver memory O(distinct values) — same bounded-domain
     contract as exact_quantiles (quantize first for continuous columns).  A
@@ -138,9 +140,11 @@ def global_rank(ds: ray.data.Dataset, col: str, id_col: str, *,
                     if len(merged) else np.array([], dtype=np.int64)))
     base_ref = ray.put(base)
 
+    order_cols = [col] + list(tie_cols or []) + [id_col]
+
     def rank_part(df: pd.DataFrame) -> pd.DataFrame:
         b = ray.get(base_ref)
-        df = df.sort_values([col, id_col])
+        df = df.sort_values(order_cols)
         pos = df.groupby(col).cumcount().to_numpy(np.int64)
         offs = df[col].map(b).to_numpy(np.int64)
         out = df[[id_col, col]].copy()
@@ -148,6 +152,7 @@ def global_rank(ds: ray.data.Dataset, col: str, id_col: str, *,
         return out
 
     proj = ds.map_batches(
-        lambda t: t.select([id_col, col]), batch_format="pyarrow")
+        lambda t: t.select([id_col, col] + list(tie_cols or [])),
+        batch_format="pyarrow")
     return grouped_apply(proj, [col], rank_part,
                          num_partitions=num_partitions)

@@ -273,3 +273,35 @@ class TestGlobalRank:
         got = global_rank(ray.data.from_pandas(df), "v", "id").to_pandas()
         assert sorted(got["rank"]) == list(range(1, 501))
         assert got.sort_values("id")["rank"].tolist() == list(range(1, 501))
+
+    def test_tie_cols_order(self):
+        import ray.data
+        from post_ocr_corrector_ray.stages.quantiles import global_rank
+
+        # coarse value 0 everywhere; tie column must drive the in-group order
+        df = pd.DataFrame({"id": np.arange(6, dtype=np.int64),
+                           "v": np.zeros(6, dtype=np.int64),
+                           "t": ["c", "a", "b", "a", "d", "b"]})
+        got = global_rank(ray.data.from_pandas(df), "v", "id",
+                          tie_cols=["t"], num_partitions=4).to_pandas()
+        want = df.sort_values(["v", "t", "id"]).reset_index(drop=True)
+        want["rank"] = np.arange(1, 7, dtype=np.int64)
+        merged = got.merge(want[["id", "rank"]], on="id",
+                           suffixes=("_got", "_want"))
+        assert merged["rank_got"].tolist() == merged["rank_want"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShuffleOrder:
+    def test_bijection_and_determinism(self):
+        from post_ocr_corrector_ray.pipelines.documents import doc_shuffle_order
+
+        sf_dir = "/root/testdata/sf0.001"
+        a = doc_shuffle_order(sf_dir).to_pandas().sort_values("doc_id")
+        n = len(a)
+        assert sorted(a["shuffle_rank"]) == list(range(1, n + 1))
+        # genuinely shuffled: not the identity order
+        assert a["shuffle_rank"].tolist() != list(range(1, n + 1))
+        b = doc_shuffle_order(sf_dir).to_pandas().sort_values("doc_id")
+        assert a["shuffle_rank"].tolist() == b["shuffle_rank"].tolist()
+

@@ -85,6 +85,8 @@ class TestOracleParitySubset:
         "doc_span_dedup",
         # sequence packing via distributed prefix sum (stages/packing.py)
         "doc_pack_assignments",
+        # deterministic global training shuffle (md5 rank, no global sort)
+        "doc_shuffle_order",
     ])
     def test_query_matches_oracle(self, con, name):
         import __ray_entry__ as entry
