@@ -257,6 +257,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_stats": D.doc_repetition_stats,
         "doc_repetition_filter": D.doc_repetition_filter,
         "doc_contamination": lambda sf: D.doc_contamination(sf),
+        # scale twin: gram-keyed exchange instead of driver-collected
+        # broadcast — for benchmark sides too big to broadcast
+        "doc_contamination_joined": lambda sf: D.doc_contamination_joined(sf),
         "doc_token_familiarity": lambda sf: D.doc_token_familiarity(sf),
         "doc_lang_weights": lambda sf: D.doc_lang_weights(sf),
         # cross-document exact span dedup (C4 / Lee et al. 2022 family):
@@ -523,6 +526,38 @@ _REPETITION_SQL = r"""
     LEFT JOIN wagg w USING (doc_id)
     LEFT JOIN wtop t USING (doc_id)
     LEFT JOIN gagg g USING (doc_id)"""
+
+
+# word-5-gram decontamination of non-test docs vs the test split's distinct
+# grams (short-doc convention shared with the n-gram Jaccard oracle: < 5
+# words → ONE whole-text gram); serves BOTH the broadcast and the
+# gram-exchange contamination paths (identical contract)
+_CONTAMINATION_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(t) < 5 THEN array_to_string(t, ' ')
+                  ELSE array_to_string(
+                       t[CAST(g AS BIGINT):CAST(g AS BIGINT) + 4], ' ')
+             END AS gram
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 4, 1))) AS g
+            FROM toks)
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0
+    ), agg AS (
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+      WHERE g.doc_id % 10 <> 0
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, n_hit, n_hit * 1.0 / n_grams AS hit_frac
+    FROM agg"""
 
 
 # shared prefix for the near-dup clustering oracles: exact-Jaccard ≥ 0.5
@@ -882,32 +917,10 @@ def oracle_sql() -> dict[str, str]:
         # word-5-gram decontamination of non-test docs vs the test split's
         # distinct grams (same short-doc convention as the n-gram Jaccard
         # oracle: < 5 words → ONE whole-text gram)
-        "doc_contamination": r"""
-            WITH toks AS (
-              SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
-                                         x -> x <> '') AS t
-              FROM documents
-            ), grams AS (
-              SELECT DISTINCT doc_id,
-                     CASE WHEN len(t) < 5 THEN array_to_string(t, ' ')
-                          ELSE array_to_string(
-                               t[CAST(g AS BIGINT):CAST(g AS BIGINT) + 4], ' ')
-                     END AS gram
-              FROM (SELECT doc_id, t,
-                           unnest(generate_series(1, greatest(len(t) - 4, 1))) AS g
-                    FROM toks)
-            ), bench AS (
-              SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0
-            ), agg AS (
-              SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-                     CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
-                          AS BIGINT) AS n_hit
-              FROM grams g LEFT JOIN bench b ON g.gram = b.gram
-              WHERE g.doc_id % 10 <> 0
-              GROUP BY g.doc_id
-            )
-            SELECT doc_id, n_grams, n_hit, n_hit * 1.0 / n_grams AS hit_frac
-            FROM agg""",
+        "doc_contamination": _CONTAMINATION_SQL,
+        # the distributed (gram-keyed exchange) scale twin computes the SAME
+        # contract — one oracle serves both paths
+        "doc_contamination_joined": _CONTAMINATION_SQL,
         # unigram familiarity vs the train split's (doc_id%10 ∉ {0,9}) token
         # frequencies; integer sums/counts → exact double division
         "doc_token_familiarity": r"""

@@ -98,6 +98,7 @@ def run_benchmarks() -> dict:
         "doc_token_distinct", "doc_token_distinct_hll",
         "doc_percentile_filter", "doc_rank_by_length",
         "doc_repetition_stats", "doc_contamination",
+        "doc_contamination_joined",
         "doc_token_familiarity", "doc_lang_weights", "doc_span_dedup",
         "doc_pack_assignments", "doc_shuffle_order",
     ]

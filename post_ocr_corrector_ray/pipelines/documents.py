@@ -486,6 +486,16 @@ def doc_contamination(sf_dir: str, n_gram: int = 5) -> ray.data.Dataset:
         batch_size=256, concurrency=(1, 4), num_cpus=1)
 
 
+def doc_contamination_joined(sf_dir: str, n_gram: int = 5) -> ray.data.Dataset:
+    """Distributed (gram-keyed exchange) contamination scoring — the scale
+    twin of doc_contamination for when the benchmark side is too big to
+    broadcast.  Same semantics, same SQL oracle, no driver materialization."""
+    from ..stages import corpusprep as cp
+
+    return cp.contamination_joined(_docs(sf_dir, ["doc_id", "text"]),
+                                   n_gram=n_gram)
+
+
 def doc_token_familiarity(sf_dir: str) -> ray.data.Dataset:
     """Unigram-LM familiarity scoring: mean train-split token frequency +
     OOV count per document.  The train vocabulary is built with the

@@ -249,6 +249,77 @@ class FamiliarityStage:
         })
 
 
+def contamination_joined(docs, *, bench_remainders: tuple[int, ...] = (0,),
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n_gram: int = 5, num_partitions: int = 64):
+    """Scale twin of the broadcast ``ContaminationStage``: benchmark-overlap
+    scoring as ONE gram-keyed exchange — for when the "benchmark" side is NOT
+    a small curated set (e.g. decontaminating split A against split B of the
+    same 100 TB corpus, where broadcasting split B's grams would OOM every
+    actor).
+
+    Both sides' distinct per-doc grams flow through the same exchange tagged
+    by side (``doc_id % 10 ∈ bench_remainders`` → bench); inside each gram
+    partition a vectorized isin marks eval-gram hits, and a second doc-keyed
+    pre-aggregated exchange sums (n_grams, n_hit) per document.  No driver
+    materialization anywhere; identical output contract (and SQL oracle) to
+    the broadcast path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .shuffle import grouped_agg
+
+    def grams(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).combine_chunks()
+        gram_arr, grow = word_grams_per_row(texts, n_gram)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[grow]
+        is_bench = np.isin(ids % 10, bench_remainders)
+        return pa.table({"gram": gram_arr,
+                         id_col: pa.array(ids, pa.int64()),
+                         "is_bench": pa.array(is_bench, pa.bool_())})
+
+    from .shuffle import grouped_apply
+
+    occ = docs.map_batches(grams, batch_format="pyarrow")
+
+    def hits(df: pd.DataFrame) -> pd.DataFrame:
+        ev = df[~df["is_bench"]]
+        if ev.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "h": pd.Series([], dtype="int64")})
+        bench = df.loc[df["is_bench"], "gram"].unique()
+        hit = ev["gram"].isin(bench).to_numpy()
+        # pre-aggregate per doc INSIDE the gram partition: the second
+        # exchange moves one (doc, n, h) partial per doc per partition,
+        # not one row per gram
+        g = ev.assign(n=1, h=hit.astype(np.int64)) \
+            .groupby(id_col, as_index=False)[["n", "h"]].sum()
+        return g.astype({id_col: "int64", "n": "int64", "h": "int64"})
+
+    per_gram = grouped_apply(occ, ["gram"], hits,
+                             num_partitions=num_partitions)
+    agg = grouped_agg(per_gram, [id_col],
+                      {"n_grams": ("n", "sum"), "n_hit": ("h", "sum")},
+                      num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_grams").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = batch.column("n_hit").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = np.where(n > 0, h / np.maximum(n, 1), 0.0)
+        return pa.table({id_col: batch.column(id_col).cast(pa.int64()),
+                         "n_grams": pa.array(n, pa.int64()),
+                         "n_hit": pa.array(h, pa.int64()),
+                         "hit_frac": pa.array(frac, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def temperature_weights(group_counts: dict[str, int], alpha: float = 0.5
                         ) -> dict[str, float]:
     """Per-GROUP sampling weight w_g = count_g^alpha / Σ count^alpha, summed

@@ -113,6 +113,28 @@ class TestBroadcastStages:
         assert out["mean_train_freq"] == [14 / 3, 0.0, 0.0]
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestContaminationJoined:
+    def test_matches_broadcast_path(self):
+        """The gram-exchange scale twin must produce exactly the broadcast
+        path's rows (same contract, same oracle)."""
+        import ray
+
+        from post_ocr_corrector_ray.pipelines.documents import (
+            doc_contamination, doc_contamination_joined)
+
+        sf = "/root/testdata/sf0.001"
+        a = doc_contamination(sf).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        b = doc_contamination_joined(sf).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a[sorted(a.columns)],
+                                      b[sorted(b.columns)],
+                                      check_dtype=False)
+
+
 class TestTemperatureWeights:
     def test_sums_to_one_and_flattens(self):
         w = cp.temperature_weights({"en": 400, "de": 100}, alpha=0.5)

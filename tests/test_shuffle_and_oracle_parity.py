@@ -80,7 +80,7 @@ class TestOracleParitySubset:
         "doc_simhash_candidates_md5", "doc_rank_by_length",
         # training-corpus preparation (stages/corpusprep.py)
         "doc_repetition_stats", "doc_repetition_filter", "doc_contamination",
-        "doc_token_familiarity", "doc_lang_weights",
+        "doc_contamination_joined", "doc_token_familiarity", "doc_lang_weights",
         # cross-document exact span dedup (stages/spandedup.py)
         "doc_span_dedup",
         # sequence packing via distributed prefix sum (stages/packing.py)
