@@ -271,6 +271,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic global training shuffle: ROW_NUMBER over md5(doc_id)
         # via hash-prefix histogram offsets, no global sort
         "doc_shuffle_order": lambda sf: D.doc_shuffle_order(sf),
+        # the composed end-to-end corpus-prep manifest: repetition filter ∘
+        # exact dedup ∘ near-dup dedup ∘ decontamination ∘ packing, chained
+        # as co-partitioned semi joins (pipelines/documents.py)
+        "doc_corpus_prep": lambda sf: D.doc_corpus_prep(sf),
     }
 
 
@@ -1022,6 +1026,42 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                         AS BIGINT) AS shuffle_rank
             FROM documents""",
+        # composed end-to-end corpus prep: intersection of the four keep-sets
+        # (repetition ceilings ∧ exact-dedup winners ∧ near-dup survivors ∧
+        # decontamination; the test split falls out of the contamination CTE
+        # by construction), then packing over the survivors in doc_id order
+        "doc_corpus_prep": _CC_ORACLE + f"""
+            , near AS (
+              SELECT doc_id FROM documents
+              WHERE doc_id NOT IN (
+                SELECT node
+                FROM (SELECT node, least(node, min(r)) AS component
+                      FROM reach GROUP BY node)
+                WHERE node <> component)
+            ), rep AS (
+              SELECT doc_id FROM ({_REPETITION_SQL})
+              WHERE dup_2gram_frac <= 0.05 AND top_word_frac <= 0.12
+            ), exact AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ), cont AS (
+              SELECT doc_id FROM ({_CONTAMINATION_SQL})
+              WHERE hit_frac <= 0.2
+            ), surv AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                          regexp_split_to_array(text, '\\s+'),
+                          x -> x <> '')) AS BIGINT) AS n_words
+              FROM documents
+              WHERE doc_id IN (SELECT doc_id FROM rep)
+                AND doc_id IN (SELECT doc_id FROM exact)
+                AND doc_id IN (SELECT doc_id FROM near)
+                AND doc_id IN (SELECT doc_id FROM cont)
+            )
+            SELECT doc_id, n_words,
+                   CAST(COALESCE(SUM(n_words) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) // 512 AS BIGINT) AS pack_id
+            FROM surv""",
     }
     # the IVF oracle inlines centroids derived from the driver's sf0.01
     # correctness fixture; if that fixture is absent (other deployments),

@@ -587,6 +587,58 @@ def doc_pack_assignments(sf_dir: str, budget: int = 512) -> ray.data.Dataset:
     return pack_assignments(stats, "doc_id", "n_words", budget=budget)
 
 
+def doc_corpus_prep(sf_dir: str, *, contamination_max: float = 0.2,
+                    pack_budget: int = 512) -> ray.data.Dataset:
+    """End-to-end training-corpus preparation — the composed RefinedWeb-style
+    flow as ONE lazy Ray pipeline, emitting the final training manifest
+    (doc_id, n_words, pack_id):
+
+    1. repetition quality filter (Gopher ceilings — doc_repetition_filter);
+    2. exact dedup winners (min doc_id per md5 — doc_dedup_exact);
+    3. near-dup survivors (LSH pairs → connected components → anti join —
+       doc_dedup_near);
+    4. benchmark decontamination (hit_frac ≤ ``contamination_max``; the test
+       split itself is excluded by construction — doc_contamination);
+    5. sequence packing of the survivors in doc_id order (stages/packing.py).
+
+    Every keep-set is a Dataset of doc_ids; survivors are computed with
+    co-partitioned SEMI joins (stages/joins.py — only the key crosses each
+    exchange), never collected on the driver.  The composed DuckDB twin
+    hash-matches the full manifest."""
+    from ..stages.joins import hash_join
+    from ..stages.packing import pack_assignments
+    from ..stages.textstats import _split_words
+
+    def wc(batch: pa.Table) -> pa.Table:
+        _, counts = _split_words(batch.column("text").combine_chunks())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_words": pa.array(counts, pa.int64())})
+
+    surv = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        wc, batch_format="pyarrow")
+
+    def ids_only(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(lambda t: t.select(["doc_id"]),
+                              batch_format="pyarrow")
+
+    def not_contaminated(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less_equal(batch.column("hit_frac"),
+                                          contamination_max)) \
+            .select(["doc_id"])
+
+    keeps = [
+        doc_repetition_filter(sf_dir),
+        ids_only(doc_dedup_exact(sf_dir)),
+        doc_dedup_near(sf_dir),
+        doc_contamination(sf_dir).map_batches(not_contaminated,
+                                              batch_format="pyarrow"),
+    ]
+    for k in keeps:
+        surv = hash_join(surv, k, on="doc_id", how="semi")
+    return pack_assignments(surv, "doc_id", "n_words", budget=pack_budget,
+                            pack_col="pack_id")
+
+
 def doc_rank_by_length(sf_dir: str) -> ray.data.Dataset:
     """Global ROW_NUMBER over the corpus ordered by (n_chars, doc_id) —
     histogram base offsets + ONE value-keyed exchange, no global sort

@@ -87,6 +87,8 @@ class TestOracleParitySubset:
         "doc_pack_assignments",
         # deterministic global training shuffle (md5 rank, no global sort)
         "doc_shuffle_order",
+        # composed end-to-end corpus prep manifest (pipelines/documents.py)
+        "doc_corpus_prep",
     ])
     def test_query_matches_oracle(self, con, name):
         import __ray_entry__ as entry
