@@ -19,6 +19,8 @@ deterministic across processes and machines, unlike builtin ``hash``).
 
 from __future__ import annotations
 
+import logging
+import re
 from typing import Callable
 
 import numpy as np
@@ -26,6 +28,39 @@ import pandas as pd
 import ray.data
 
 DEFAULT_PARTITIONS = 64
+
+
+class _EmptySchemaDivergenceFilter(logging.Filter):
+    """Drop the streaming executor's schema-divergence warning ONLY when the
+    *new* schema is empty.
+
+    Ray's ``map_groups`` yields nothing for the empty blocks a tiny sorted
+    exchange produces, so the executor sees a schema-less RefBundle and warns
+    (`streaming_executor_state.py` exempts an empty OLD schema but not an
+    empty NEW one).  Every grouped UDF in this package returns typed empty
+    frames; the remaining noise is Ray-internal and key-partition-count
+    dependent, so it is filtered at the logger.  Real drift — two NON-empty
+    schemas disagreeing — still warns.
+    """
+
+    _EMPTY_NEW = re.compile(
+        r"new schema: (PandasBlockSchema\(names=\[\], types=\[\]\)|None)\.")
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        msg = record.getMessage()
+        if "produced a RefBundle with a different schema" not in msg:
+            return True
+        return self._EMPTY_NEW.search(msg) is None
+
+
+def _install_empty_schema_filter() -> None:
+    lg = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state")
+    if not any(isinstance(f, _EmptySchemaDivergenceFilter) for f in lg.filters):
+        lg.addFilter(_EmptySchemaDivergenceFilter())
+
+
+_install_empty_schema_filter()
 
 
 def add_key_partition(df: pd.DataFrame, key_cols: list[str],

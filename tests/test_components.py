@@ -177,3 +177,31 @@ def test_near_dedup_incremental_property(ray_session, raw_edges):
     surv = sorted(near_dedup_incremental(docs, store, pairs, num_partitions=3)
                   .to_pandas()["doc_id"].tolist())
     assert surv == _incr_oracle(new_ids, old_ids, edges)
+
+
+def test_empty_schema_divergence_filter_selectivity():
+    """The logger filter drops ONLY empty-new-schema divergence noise (Ray's
+    map_groups yields nothing for empty sorted blocks); real schema drift
+    between two non-empty schemas must still pass through."""
+    import logging
+
+    from post_ocr_corrector_ray.stages.shuffle import _EmptySchemaDivergenceFilter
+
+    f = _EmptySchemaDivergenceFilter()
+
+    def rec(msg):
+        return logging.LogRecord("x", logging.WARNING, "f", 1, msg, (), None)
+
+    noise = ("Operator produced a RefBundle with a different schema than the "
+             "previous one. Previous schema: PandasBlockSchema(names=['u'], "
+             "types=[dtype('int64')]), new schema: PandasBlockSchema(names=[], "
+             "types=[]). This may lead to unexpected behavior.")
+    drift = ("Operator produced a RefBundle with a different schema than the "
+             "previous one. Previous schema: PandasBlockSchema(names=['u'], "
+             "types=[dtype('int64')]), new schema: PandasBlockSchema("
+             "names=['v'], types=[dtype('int64')]). This may lead to "
+             "unexpected behavior.")
+    unrelated = "some other warning"
+    assert f.filter(rec(noise)) is False
+    assert f.filter(rec(drift)) is True
+    assert f.filter(rec(unrelated)) is True
