@@ -218,6 +218,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_nn_join": E.emb_nn_join,
         "emb_cosine_dups": lambda sf: E.emb_cosine_dups(sf),
         "emb_cosine_dups_bucketed": lambda sf: E.emb_cosine_dups_bucketed(sf),
+        # SemDeDup-style end-to-end embedding dedup (exact pairs → connected
+        # components → min-id survivors; _bucketed = IVF scale path)
+        "emb_dedup": lambda sf: E.emb_dedup(sf),
+        "emb_dedup_bucketed": lambda sf: E.emb_dedup_bucketed(sf),
         # relational capability (groupby/join/sort/window)
         "pricing_summary": R.pricing_summary,
         "top_customers": lambda sf: R.top_customers(sf),
@@ -275,6 +279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact dedup ∘ near-dup dedup ∘ decontamination ∘ packing, chained
         # as co-partitioned semi joins (pipelines/documents.py)
         "doc_corpus_prep": lambda sf: D.doc_corpus_prep(sf),
+        # per-domain document cap (grouped top-k over source)
+        "doc_source_cap": lambda sf: D.doc_source_cap(sf),
     }
 
 
@@ -740,6 +746,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.4""",
+        # SemDeDup end-to-end: connected components over the exact cosine-pair
+        # edge set (same pair CTE as emb_cosine_dups), min-id survivor kept
+        "emb_dedup": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id
+                AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+            ), sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                       UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(node, r) AS (
+              SELECT u, v FROM sym
+              UNION
+              SELECT reach.node, sym.v FROM reach JOIN sym ON reach.r = sym.u)
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (
+              SELECT node
+              FROM (SELECT node, least(node, min(r)) AS component
+                    FROM reach GROUP BY node)
+              WHERE node <> component)""",
         "parts_by_brand": """
             SELECT p_brand,
                    CAST(COUNT(*) AS BIGINT) AS n_parts,
@@ -1017,6 +1044,14 @@ def oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                             0) // 512 AS BIGINT) AS pack_id
             FROM w""",
+        # per-domain cap: each source's 20 lowest doc_ids (ROW_NUMBER family)
+        "doc_source_cap": """
+            SELECT doc_id, source, source_rank FROM (
+              SELECT doc_id, source,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY source
+                          ORDER BY doc_id) AS BIGINT) AS source_rank
+              FROM documents)
+            WHERE source_rank <= 20""",
         # deterministic global shuffle: permutation position by md5 of the
         # decimal doc_id (hex-lexicographic order == the engine's
         # (16-bit-prefix histogram, full-digest tiebreak) order)

@@ -678,3 +678,27 @@ def doc_shuffle_order(sf_dir: str) -> ray.data.Dataset:
         "h16", "doc_id", tie_cols=["hash_hex"], rank_col="shuffle_rank")
     return ranked.map_batches(
         lambda t: t.select(["doc_id", "shuffle_rank"]), batch_format="pyarrow")
+
+
+def doc_source_cap(sf_dir: str, cap: int = 20) -> ray.data.Dataset:
+    """Per-domain document cap (the C4/RefinedWeb "max N pages per host"
+    composition rule): keep each source's ``cap`` lowest doc_ids.
+
+    Grouped top-k shape (stages/shuffle.py::grouped_apply): ONE coarse
+    hash-partitioned exchange on source, vectorized sort + cumcount inside
+    each partition, ≤ cap rows per source survive — source cardinality never
+    becomes Ray group count, and the deterministic rank order (doc_id ASC)
+    matches the ROW_NUMBER oracle exactly."""
+    import pandas as pd
+
+    from ..stages.shuffle import grouped_apply
+
+    docs = _docs(sf_dir, ["doc_id", "source"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "doc_id"], kind="mergesort")
+        rnk = df.groupby("source").cumcount().to_numpy() + 1
+        out = df.assign(source_rank=rnk.astype(np.int64))
+        return out[out["source_rank"] <= cap]
+
+    return grouped_apply(docs, ["source"], topk)

@@ -85,3 +85,33 @@ def emb_cosine_dups_bucketed(sf_dir: str, threshold: float = 0.4) -> ray.data.Da
 def emb_nn_join(sf_dir: str) -> ray.data.Dataset:
     """Every vector's nearest other vector — exact, block-distributed."""
     return nn_join_blockwise(_emb(sf_dir))
+
+
+def _emb_dedup_from_pairs(sf_dir: str,
+                          pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """(vec_id) survivors after contracting ``pairs`` into clusters and
+    keeping each cluster's min vec_id (stages/components.py::near_dedup —
+    nothing is collected on the driver)."""
+    from ..stages.components import near_dedup
+
+    ids = _emb(sf_dir).map_batches(
+        lambda t: t.select(["vec_id"]), batch_format="pyarrow")
+    return near_dedup(ids, pairs, id_col="vec_id")
+
+
+def emb_dedup(sf_dir: str, threshold: float = 0.4) -> ray.data.Dataset:
+    """SemDeDup-style end-to-end embedding dedup: exact cosine-dup pairs →
+    distributed connected components → keep the min-id representative per
+    cluster plus all unclustered vectors.  The exact pair set makes the full
+    flow hash-verifiable against a recursive-CTE DuckDB twin."""
+    return _emb_dedup_from_pairs(
+        sf_dir, emb_cosine_dups(sf_dir, threshold=threshold))
+
+
+def emb_dedup_bucketed(sf_dir: str, threshold: float = 0.4) -> ray.data.Dataset:
+    """The sub-quadratic scale path of ``emb_dedup``: IVF-bucketed candidate
+    pairs feed the same clustering + survivor logic.  Recall follows the pair
+    stage's (n_clusters, n_assign) knob; pytest pins survivors ⊇ the exact
+    path's (missed pairs can only merge fewer clusters)."""
+    return _emb_dedup_from_pairs(
+        sf_dir, emb_cosine_dups_bucketed(sf_dir, threshold=threshold))

@@ -254,9 +254,18 @@ def cosine_pairs_blockwise(ds: ray.data.Dataset, *, threshold: float,
             ids_a, ma, na = _ids_matrix(ta, id_col, vec_col)
             ids_b, mb, nb = (ids_a, ma, na) if bj == bi else _ids_matrix(tb, id_col, vec_col)
             sims = np.round((ma @ mb.T) / (na[:, None] * nb[None, :]), SIM_DECIMALS)
-            keep = (sims >= threshold) & (ids_a[:, None] < ids_b[None, :])
+            keep = sims >= threshold
+            if bj == bi:
+                # diagonal block: upper triangle avoids (x,x) and mirrors
+                keep &= ids_a[:, None] < ids_b[None, :]
             ai, bjx = np.nonzero(keep)
-            out_a.append(ids_a[ai]); out_b.append(ids_b[bjx]); out_s.append(sims[ai, bjx])
+            pa_ids, pb_ids = ids_a[ai], ids_b[bjx]
+            # blocks are NOT id-ordered (repartition layout), so a cross-block
+            # pair may have its smaller id in either block — normalize to
+            # (min, max); each unordered pair appears in exactly one block pair
+            out_a.append(np.minimum(pa_ids, pb_ids))
+            out_b.append(np.maximum(pa_ids, pb_ids))
+            out_s.append(sims[ai, bjx])
         if not out_a:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),

@@ -89,6 +89,8 @@ class TestOracleParitySubset:
         "doc_shuffle_order",
         # composed end-to-end corpus prep manifest (pipelines/documents.py)
         "doc_corpus_prep",
+        # SemDeDup-style embedding dedup + per-domain cap
+        "emb_dedup", "doc_source_cap",
     ])
     def test_query_matches_oracle(self, con, name):
         import __ray_entry__ as entry

@@ -319,3 +319,22 @@ class TestJaccardSpecEquivalence:
                 dd.signature_bytes(word_ngram_hashes(a, n=3)),
                 dd.signature_bytes(word_ngram_hashes(b, n=3))) == \
                 dd.word_ngram_jaccard(a, b, 3)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbDedupEndToEnd:
+    def test_bucketed_survivors_superset_of_exact(self):
+        """IVF-bucketed dedup can only MISS pairs → merges fewer clusters →
+        keeps a superset of the exact path's survivors; exact survivors are
+        oracle-verified separately (test_shuffle_and_oracle_parity)."""
+        from post_ocr_corrector_ray.pipelines.embeddings import (
+            emb_dedup,
+            emb_dedup_bucketed,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        exact = set(emb_dedup(sf).to_pandas()["vec_id"])
+        buck = set(emb_dedup_bucketed(sf).to_pandas()["vec_id"])
+        assert buck >= exact
+        # the pair stage's measured recall keeps the gap small
+        assert len(buck) - len(exact) <= 0.1 * max(len(exact), 1)
