@@ -216,6 +216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_topk_lsh": lambda sf: E.emb_ann_topk_lsh(sf),
         "emb_ann_topk_ivf": lambda sf: E.emb_ann_topk_ivf(sf),
         "emb_nn_join": E.emb_nn_join,
+        # exact k-NN graph (block-distributed local top-k -> grouped reduce)
+        "emb_knn_graph": lambda sf: E.emb_knn_graph(sf),
         "emb_cosine_dups": lambda sf: E.emb_cosine_dups(sf),
         "emb_cosine_dups_bucketed": lambda sf: E.emb_cosine_dups_bucketed(sf),
         # SemDeDup-style end-to-end embedding dedup (exact pairs → connected
@@ -281,6 +283,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_corpus_prep": lambda sf: D.doc_corpus_prep(sf),
         # per-domain document cap (grouped top-k over source)
         "doc_source_cap": lambda sf: D.doc_source_cap(sf),
+        # fixed-word-window chunking with stride (training context windows)
+        "doc_chunk_windows": lambda sf: D.doc_chunk_windows(sf),
+        # per-token document frequency + idf
+        "doc_idf": lambda sf: D.doc_idf(sf),
+        # per-doc top tf-idf terms (tf ⋈ idf co-partitioned join + top-k)
+        "doc_tfidf_top_terms": lambda sf: D.doc_tfidf_top_terms(sf),
+        # token -> sorted posting list (search-index build)
+        "doc_inverted_index": lambda sf: D.doc_inverted_index(sf),
     }
 
 
@@ -738,6 +748,19 @@ def oracle_sql() -> dict[str, str]:
                                 b.vec_id) AS rn
               FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
             WHERE rn = 1""",
+        # exact k-NN graph: k=5 nearest per vector, rank ties -> smaller nn_id
+        "emb_knn_graph": """
+            SELECT vec_id, nn_rank, nn_id, nn_sim FROM (
+              SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+                     round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])), 6) AS nn_sim,
+                     CAST(row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                                b.vec_id) AS BIGINT) AS nn_rank
+              FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
+            WHERE nn_rank <= 5""",
         "emb_cosine_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -1044,6 +1067,68 @@ def oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                             0) // 512 AS BIGINT) AS pack_id
             FROM w""",
+        # fixed-word-window chunking: win=64, stride=32, tail window partial,
+        # empty docs emit nothing
+        "doc_chunk_windows": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS words
+              FROM documents),
+            c AS (
+              SELECT doc_id, words,
+                     unnest(range(0, len(words), 32)) AS cs
+              FROM w WHERE len(words) > 0)
+            SELECT doc_id,
+                   CAST(cs // 32 AS BIGINT) AS chunk_idx,
+                   CAST(cs AS BIGINT) AS chunk_start,
+                   array_to_string(words[cs + 1 : cs + 64], ' ') AS chunk_text,
+                   CAST(least(64, len(words) - cs) AS BIGINT) AS chunk_n_words
+            FROM c""",
+        # per-token document frequency + idf = ln(N/df) rounded to 6 decimals
+        "doc_idf": r"""
+            WITH dt AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS token
+              FROM documents)
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+                   round(ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                            / COUNT(*)), 6) AS idf
+            FROM dt GROUP BY token""",
+        # per-doc top-3 tf·idf terms; idf rounded to 6 before the product,
+        # ties -> token ASC (mirrors the engine exactly)
+        "doc_tfidf_top_terms": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM words GROUP BY doc_id, token),
+            idf AS (SELECT token,
+                           round(ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                                    / COUNT(DISTINCT doc_id)), 6) AS idf
+                    FROM words GROUP BY token)
+            SELECT doc_id, term_rank, token, tf, tfidf FROM (
+              SELECT tf.doc_id, tf.token, tf.tf,
+                     round(tf.tf * idf.idf, 6) AS tfidf,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                          ORDER BY round(tf.tf * idf.idf, 6) DESC, tf.token)
+                          AS BIGINT) AS term_rank
+              FROM tf JOIN idf USING (token))
+            WHERE term_rank <= 3""",
+        # inverted index: token -> df + comma-joined sorted doc_id postings
+        "doc_inverted_index": r"""
+            WITH dt AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS token
+              FROM documents)
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM dt GROUP BY token""",
         # per-domain cap: each source's 20 lowest doc_ids (ROW_NUMBER family)
         "doc_source_cap": """
             SELECT doc_id, source, source_rank FROM (

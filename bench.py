@@ -102,6 +102,8 @@ def run_benchmarks() -> dict:
         "doc_token_familiarity", "doc_lang_weights", "doc_span_dedup",
         "doc_pack_assignments", "doc_shuffle_order", "doc_corpus_prep",
         "doc_source_cap", "emb_dedup", "emb_dedup_bucketed",
+        "emb_knn_graph", "doc_chunk_windows", "doc_idf",
+        "doc_tfidf_top_terms", "doc_inverted_index",
     ]
     qs = entry.queries()
     for name in bench_queries:

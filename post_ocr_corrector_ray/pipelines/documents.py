@@ -680,6 +680,190 @@ def doc_shuffle_order(sf_dir: str) -> ray.data.Dataset:
         lambda t: t.select(["doc_id", "shuffle_rank"]), batch_format="pyarrow")
 
 
+def doc_chunk_windows(sf_dir: str, win: int = 64,
+                      stride: int = 32) -> ray.data.Dataset:
+    """Fixed-word-window document chunking with overlap (the training
+    context-window shape: each doc → ceil(n_words/stride) windows of up to
+    ``win`` words starting every ``stride`` words; the tail window is
+    partial).  Pure flat-map — no shuffle; empty docs emit nothing.
+
+    Vectorized end-to-end: one Arrow whitespace split per batch, window word
+    indices built with repeat/cumsum arithmetic, chunk texts re-joined with
+    ``binary_join`` over a take-gathered flat word array (windows overlap, so
+    the flat array cannot be list-wrapped in place)."""
+    from ..stages.textstats import _split_words
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "chunk_idx": pa.array([], pa.int64()),
+                          "chunk_start": pa.array([], pa.int64()),
+                          "chunk_text": pa.array([], pa.string()),
+                          "chunk_n_words": pa.array([], pa.int64())})
+        texts = batch.column("text").combine_chunks()
+        flat, counts = _split_words(texts)
+        n_chunks = -(-counts // stride)            # ceil; 0 words → 0 chunks
+        total = int(n_chunks.sum())
+        if total == 0:
+            return empty
+        doc_off = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        rows = np.repeat(np.arange(len(counts), dtype=np.int64), n_chunks)
+        chunk_off = np.concatenate(([0], np.cumsum(n_chunks)))[:-1]
+        cidx = np.arange(total, dtype=np.int64) - np.repeat(chunk_off, n_chunks)
+        start = cidx * stride
+        length = np.minimum(win, counts[rows] - start)
+        # gather every window's word indices into one flat take
+        lens_off = np.concatenate(([0], np.cumsum(length)))[:-1]
+        abs_start = doc_off[rows] + start
+        idx = (np.arange(int(length.sum()), dtype=np.int64)
+               - np.repeat(lens_off, length) + np.repeat(abs_start, length))
+        words = flat.take(pa.array(idx))
+        offsets = np.concatenate(([0], np.cumsum(length))).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), words), " ")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids[rows], pa.int64()),
+                         "chunk_idx": pa.array(cidx, pa.int64()),
+                         "chunk_start": pa.array(start, pa.int64()),
+                         "chunk_text": joined,
+                         "chunk_n_words": pa.array(length, pa.int64())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def doc_idf(sf_dir: str) -> ray.data.Dataset:
+    """Per-token document frequency + inverse document frequency over the
+    corpus (the rare-token signal quality filters weight by).
+
+    Shape: per-batch DISTINCT (doc, token) pairs collapse to partial
+    df counts (a doc never spans batches, so partials sum exactly), ONE
+    coarse-hash token exchange sums them, idf = round(ln(N/df), 6) with N
+    read from parquet metadata (no data pass)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..stages.shuffle import grouped_agg
+    from ..stages.textstats import _split_words
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _docs(sf_dir, ["text"])
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").combine_chunks()
+        flat, counts = _split_words(texts)
+        rows = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        d = pd.DataFrame({"row": rows,
+                          "token": flat.to_numpy(zero_copy_only=False)})
+        cnt = d.drop_duplicates()["token"].value_counts().sort_index()
+        return pa.table({"token": pa.array(cnt.index.to_numpy(dtype=object),
+                                           pa.string()),
+                         "df": pa.array(cnt.to_numpy(), pa.int64())})
+
+    summed = grouped_agg(ds.map_batches(partial_df, batch_format="pyarrow"),
+                         ["token"], {"df": ("df", "sum")})
+
+    def add_idf(batch: pa.Table) -> pa.Table:
+        df = batch.column("df").to_numpy().astype(np.float64)
+        idf = np.round(np.log(float(n_docs) / df), 6)
+        return batch.append_column("idf", pa.array(idf, pa.float64()))
+
+    return summed.map_batches(add_idf, batch_format="pyarrow")
+
+
+def _doc_token_pairs(batch: pa.Table, *, counted: bool) -> pa.Table:
+    """(doc_id, token[, tf]) rows for the batch — distinct pairs when
+    ``counted`` is False, with per-doc term frequency when True.  One Arrow
+    whitespace split + one vectorized pandas groupby per batch."""
+    import pandas as pd
+
+    from ..stages.textstats import _split_words
+
+    texts = batch.column("text").combine_chunks()
+    flat, counts = _split_words(texts)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    rows = np.repeat(ids, counts)
+    d = pd.DataFrame({"doc_id": rows,
+                      "token": flat.to_numpy(zero_copy_only=False)})
+    if counted:
+        g = d.groupby(["doc_id", "token"], as_index=False, sort=True).size()
+        return pa.table({"doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                         "token": pa.array(g["token"].to_numpy(dtype=object),
+                                           pa.string()),
+                         "tf": pa.array(g["size"].to_numpy(), pa.int64())})
+    u = d.drop_duplicates().sort_values(["doc_id", "token"])
+    return pa.table({"doc_id": pa.array(u["doc_id"].to_numpy(), pa.int64()),
+                     "token": pa.array(u["token"].to_numpy(dtype=object),
+                                       pa.string())})
+
+
+def doc_tfidf_top_terms(sf_dir: str, top: int = 3) -> ray.data.Dataset:
+    """Each document's ``top`` highest-tf·idf terms (ties → token ASC) — the
+    classic keyword-extraction shape, composed from engine primitives: per-doc
+    term frequencies (map_batches), the corpus idf table (doc_idf), a
+    co-partitioned fact-fact hash join on token (stages/joins.py — both sides
+    are token-cardinality, neither fits a broadcast), and a grouped per-doc
+    top-k.  tfidf = round(tf · idf, 6) with idf pre-rounded, mirroring the
+    SQL twin exactly."""
+    import pandas as pd
+
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import grouped_apply
+
+    tf = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: _doc_token_pairs(b, counted=True), batch_format="pyarrow")
+    idf = doc_idf(sf_dir).map_batches(
+        lambda t: t.select(["token", "idf"]), batch_format="pyarrow")
+    joined = hash_join(tf, idf, on="token", how="inner")
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "term_rank": pd.Series([], dtype="int64"),
+                                 "token": pd.Series([], dtype="object"),
+                                 "tf": pd.Series([], dtype="int64"),
+                                 "tfidf": pd.Series([], dtype="float64")})
+        df = df.assign(tfidf=np.round(df["tf"].to_numpy() * df["idf"].to_numpy(), 6))
+        df = df.sort_values(["doc_id", "tfidf", "token"],
+                            ascending=[True, False, True], kind="mergesort")
+        rnk = df.groupby("doc_id").cumcount().to_numpy() + 1
+        df = df.assign(term_rank=rnk.astype(np.int64))
+        df = df[df["term_rank"] <= top]
+        return df[["doc_id", "term_rank", "token", "tf", "tfidf"]]
+
+    return grouped_apply(joined, ["doc_id"], topk)
+
+
+def doc_inverted_index(sf_dir: str) -> ray.data.Dataset:
+    """Token → sorted posting list (comma-joined doc_ids) + document
+    frequency — the search-index build shape.  Distinct (doc, token) pairs
+    per batch, ONE coarse token exchange, per-partition sort + groupby join.
+    The posting string is the op's output (the exchange inherently moves
+    every pair once); at 100 TB postings would be chunked per token range and
+    written columnar instead of strings."""
+    import pandas as pd
+
+    from ..stages.shuffle import grouped_apply
+
+    pairs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: _doc_token_pairs(b, counted=False), batch_format="pyarrow")
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "df": pd.Series([], dtype="int64"),
+                                 "postings": pd.Series([], dtype="object")})
+        df = df.drop_duplicates().sort_values(["token", "doc_id"])
+        g = df.groupby("token", sort=True)
+        out = g.agg(df_=("doc_id", "size"),
+                    postings=("doc_id", lambda s: ",".join(map(str, s))))
+        return pd.DataFrame({"token": out.index.to_numpy(dtype=object),
+                             "df": out["df_"].to_numpy().astype(np.int64),
+                             "postings": out["postings"].to_numpy(dtype=object)})
+
+    return grouped_apply(pairs, ["token"], build)
+
+
 def doc_source_cap(sf_dir: str, cap: int = 20) -> ray.data.Dataset:
     """Per-domain document cap (the C4/RefinedWeb "max N pages per host"
     composition rule): keep each source's ``cap`` lowest doc_ids.

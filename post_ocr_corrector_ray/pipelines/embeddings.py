@@ -33,6 +33,7 @@ from ..stages.embed import (
     ann_topk_lsh,
     cosine_pairs_blockwise,
     ivf_candidate_pairs,
+    knn_graph_blockwise,
     nn_join_blockwise,
 )
 
@@ -85,6 +86,12 @@ def emb_cosine_dups_bucketed(sf_dir: str, threshold: float = 0.4) -> ray.data.Da
 def emb_nn_join(sf_dir: str) -> ray.data.Dataset:
     """Every vector's nearest other vector — exact, block-distributed."""
     return nn_join_blockwise(_emb(sf_dir))
+
+
+def emb_knn_graph(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Every vector's k nearest others with 1-based rank — exact,
+    block-distributed (the k-NN-graph input of graph-based dedup/clustering)."""
+    return knn_graph_blockwise(_emb(sf_dir), k=k)
 
 
 def _emb_dedup_from_pairs(sf_dir: str,

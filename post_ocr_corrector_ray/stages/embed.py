@@ -344,6 +344,87 @@ def nn_join_blockwise(ds: ray.data.Dataset, *, vec_col: str = "embedding",
     return grouped_apply(partials, [id_col], best)
 
 
+def knn_graph_blockwise(ds: ray.data.Dataset, *, k: int = 5,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        num_blocks: int = 8) -> ray.data.Dataset:
+    """EXACT k-NN graph (every vector's ``k`` nearest others), distributed:
+    block-pair tasks emit per-row LOCAL top-k candidates (ties → smallest
+    neighbor id), then a coarse-partitioned reduce keeps the global top-k per
+    id and assigns ``nn_rank`` (1-based, ordered by sim DESC, nn_id ASC).
+
+    Exactness: each (row, candidate) pair is scored in exactly one block-pair
+    task; a row's global top-k is a subset of the union of its per-task local
+    top-ks, so the reduce sees every needed candidate.  Shuffle volume is
+    O(n · B · k) small rows — ids and rounded sims, never vectors."""
+    import pandas as pd
+
+    import ray
+
+    from .shuffle import grouped_apply
+
+    refs = _block_refs(ds, id_col=id_col, vec_col=vec_col, num_blocks=num_blocks)
+    items = [{"bi": i, "bj": j}
+             for i in range(len(refs)) for j in range(i, len(refs))]
+    pair_ds = ray.data.from_items(items, override_num_blocks=len(items))
+
+    def _local_topk(ids_a, ma, na, ids_b, mb, nb, same: bool):
+        sims = np.round((ma @ mb.T) / (na[:, None] * nb[None, :]), SIM_DECIMALS)
+        if same:
+            sims[ids_a[:, None] == ids_b[None, :]] = -np.inf
+        order = np.argsort(ids_b)                  # ties → smallest neighbor id
+        s = sims[:, order]
+        ids_sorted = ids_b[order]
+        kk = min(k, s.shape[1])
+        top = np.argsort(-s, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(ids_a, kk)
+        cols = ids_sorted[top.ravel()]
+        vals = np.take_along_axis(s, top, axis=1).ravel()
+        good = np.isfinite(vals)                   # drop the masked self slot
+        return rows[good], cols[good], vals[good]
+
+    def work(batch: pa.Table) -> pa.Table:
+        vid, nid, nsim = [], [], []
+        for bi, bj in zip(batch.column("bi").to_pylist(),
+                          batch.column("bj").to_pylist()):
+            ta = ray.get(refs[bi])
+            ids_a, ma, na = _ids_matrix(ta, id_col, vec_col)
+            if bj == bi:
+                if len(ids_a) < 2:
+                    continue
+                for part in (_local_topk(ids_a, ma, na, ids_a, ma, na, True),):
+                    vid.append(part[0]); nid.append(part[1]); nsim.append(part[2])
+            else:
+                tb = ray.get(refs[bj])
+                ids_b, mb, nb = _ids_matrix(tb, id_col, vec_col)
+                for part in (_local_topk(ids_a, ma, na, ids_b, mb, nb, False),
+                             _local_topk(ids_b, mb, nb, ids_a, ma, na, False)):
+                    vid.append(part[0]); nid.append(part[1]); nsim.append(part[2])
+        if not vid:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "nn_id": pa.array([], pa.int64()),
+                             "nn_sim": pa.array([], pa.float64())})
+        return pa.table({id_col: pa.array(np.concatenate(vid), pa.int64()),
+                         "nn_id": pa.array(np.concatenate(nid), pa.int64()),
+                         "nn_sim": pa.array(np.concatenate(nsim), pa.float64())})
+
+    partials = pair_ds.map_batches(work, batch_format="pyarrow")
+
+    def best_k(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "nn_rank": pd.Series([], dtype="int64"),
+                                 "nn_id": pd.Series([], dtype="int64"),
+                                 "nn_sim": pd.Series([], dtype="float64")})
+        out = df.sort_values([id_col, "nn_sim", "nn_id"],
+                             ascending=[True, False, True], kind="mergesort")
+        rnk = out.groupby(id_col).cumcount().to_numpy() + 1
+        out = out.assign(nn_rank=rnk.astype(np.int64))
+        out = out[out["nn_rank"] <= k]
+        return out[[id_col, "nn_rank", "nn_id", "nn_sim"]]
+
+    return grouped_apply(partials, [id_col], best_k)
+
+
 def ivf_candidate_pairs(ds: ray.data.Dataset, *, threshold: float,
                         n_clusters: int = 16, n_assign: int = 2,
                         seed: int = 42, vec_col: str = "embedding",

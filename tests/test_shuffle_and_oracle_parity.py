@@ -91,6 +91,10 @@ class TestOracleParitySubset:
         "doc_corpus_prep",
         # SemDeDup-style embedding dedup + per-domain cap
         "emb_dedup", "doc_source_cap",
+        # exact k-NN graph, window chunking, token idf
+        "emb_knn_graph", "doc_chunk_windows", "doc_idf",
+        # tf-idf keyword extraction + inverted-index build
+        "doc_tfidf_top_terms", "doc_inverted_index",
     ])
     def test_query_matches_oracle(self, con, name):
         import __ray_entry__ as entry
