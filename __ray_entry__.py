@@ -241,6 +241,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": D.doc_stratified_sample,
         "lineitem_order_priority": R.lineitem_order_priority,
         "customers_without_events": R.customers_without_events,
+        # TPC-H Q3 shape: broadcast dim filter + fact-fact join + topk
+        "shipping_priority": lambda sf: R.shipping_priority(sf),
+        # cross-table documents ⋈ embeddings (vector reduced in-stage)
+        "doc_embedding_join": lambda sf: E.doc_embedding_join(sf),
         "doc_length_quantiles_by_lang": D.doc_length_quantiles_by_lang,
         # near-dup clustering + end-to-end dedup (large-star/small-star
         # contraction over verified LSH pairs — stages/components.py)
@@ -790,6 +794,30 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT node, least(node, min(r)) AS component
                     FROM reach GROUP BY node)
               WHERE node <> component)""",
+        # Q3 shape; revenue in exact e4-cents (price_cents * (100-disc_pct)),
+        # top-10 by revenue DESC, orderdate ASC, orderkey ASC
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) / 10000.0 AS revenue,
+                   o_orderdate
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10""",
+        # cross-table join: document metadata + embedding L2 norm
+        "doc_embedding_join": """
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   round(sqrt(list_sum(list_transform(
+                         CAST(e.embedding AS DOUBLE[]), x -> x * x))), 6)
+                   AS emb_norm
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""",
         "parts_by_brand": """
             SELECT p_brand,
                    CAST(COUNT(*) AS BIGINT) AS n_parts,

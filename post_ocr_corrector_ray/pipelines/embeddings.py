@@ -94,6 +94,28 @@ def emb_knn_graph(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     return knn_graph_blockwise(_emb(sf_dir), k=k)
 
 
+def doc_embedding_join(sf_dir: str) -> ray.data.Dataset:
+    """Cross-table join: each document picks up its embedding's L2 norm
+    (documents.doc_id = embeddings.vec_id, inner).  The vector payload is
+    reduced to a scalar INSIDE the map stage — only (vec_id, norm) rows cross
+    the co-partitioned exchange, never embeddings."""
+    from ..stages.embed import _to_matrix
+    from ..stages.joins import hash_join
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "n_chars"])
+
+    def norms(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column("embedding"))
+        return pa.table({"vec_id": batch.column("vec_id").cast(pa.int64()),
+                         "emb_norm": pa.array(
+                             np.round(np.linalg.norm(m, axis=1), 6),
+                             pa.float64())})
+
+    nrm = _emb(sf_dir).map_batches(norms, batch_format="pyarrow")
+    return hash_join(docs, nrm, on="doc_id", right_on="vec_id", how="inner")
+
+
 def _emb_dedup_from_pairs(sf_dir: str,
                           pairs: ray.data.Dataset) -> ray.data.Dataset:
     """(vec_id) survivors after contracting ``pairs`` into clusters and

@@ -372,6 +372,78 @@ def lineitem_order_priority(sf_dir: str) -> ray.data.Dataset:
                      how="inner")
 
 
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      k: int = 10) -> pa.Table:
+    """TPC-H Q3-shaped shipping priority: revenue of not-yet-shipped line
+    items of a market segment's orders placed before the cutoff, top-k by
+    revenue.  Three tables, three join strategies in one pipeline:
+
+    - customer: segment filter + broadcast of the qualifying custkey SET
+      (``ray.put`` once, ``pc.is_in`` per batch — never re-shipped);
+    - lineitem: shipdate filter + per-batch partial revenue pre-aggregation
+      (exact e4-cents) before ONE coarse orderkey exchange;
+    - orders ⋈ revenue: co-partitioned fact-fact hash join on orderkey;
+    - final: per-block local top-k → tiny driver merge (the ann_topk pattern).
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import grouped_agg
+
+    cutoff = np.datetime64("1998-06-01T00:00:00")
+    cut_scalar = pa.scalar(cutoff.item(), pa.timestamp("us"))
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"],
+                         filters=[("c_mktsegment", "=", segment)])
+    keys_ref = ray.put(cust.column("c_custkey").combine_chunks())
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filter_orders(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        m = pc.and_(pc.is_in(batch.column("o_custkey"), value_set=keys),
+                    pc.less(batch.column("o_orderdate"), cut_scalar))
+        return batch.filter(m).select(["o_orderkey", "o_orderdate"])
+
+    qual_orders = orders.map_batches(filter_orders, batch_format="pyarrow")
+
+    lines = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial_rev(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch.column("l_shipdate"), cut_scalar))
+        if batch.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "rev_e4": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            "l_orderkey": batch.column("l_orderkey").to_numpy(),
+            "rev_e4": _cents(batch.column("l_extendedprice"))
+                      * (100 - _cents(batch.column("l_discount")))})
+        g = df.groupby("l_orderkey", as_index=False)["rev_e4"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    revenue = grouped_agg(lines.map_batches(partial_rev, batch_format="pyarrow"),
+                          ["l_orderkey"], {"rev_e4": ("rev_e4", "sum")})
+    joined = hash_join(revenue, qual_orders, on="l_orderkey",
+                       right_on="o_orderkey", how="inner")
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["rev_e4", "o_orderdate", "l_orderkey"],
+                              ascending=[False, True, True]).head(k)
+
+    parts = joined.map_batches(local_topk, batch_format="pandas").take_all()
+    top = pd.DataFrame(parts).sort_values(
+        ["rev_e4", "o_orderdate", "l_orderkey"],
+        ascending=[False, True, True]).head(k)
+    res = pd.DataFrame({"l_orderkey": top["l_orderkey"].astype("int64"),
+                        "revenue": top["rev_e4"].astype("int64") / 10000.0,
+                        "o_orderdate": top["o_orderdate"]})
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
 def customers_without_events(sf_dir: str) -> ray.data.Dataset:
     """Anti join: customers who never produced an event (hash_join
     how='anti') — the churn/inactivity filter shape."""

@@ -95,6 +95,8 @@ class TestOracleParitySubset:
         "emb_knn_graph", "doc_chunk_windows", "doc_idf",
         # tf-idf keyword extraction + inverted-index build
         "doc_tfidf_top_terms", "doc_inverted_index",
+        # TPC-H Q3 shape + cross-table doc⋈emb join
+        "shipping_priority", "doc_embedding_join",
     ])
     def test_query_matches_oracle(self, con, name):
         import __ray_entry__ as entry
