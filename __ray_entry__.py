@@ -140,6 +140,32 @@ def _media_ds(n: int):
         gen, batch_format="pyarrow")
 
 
+def _media_phash_dups(n: int, n_distinct: int = 150):
+    """Image near-dup detection over binary payloads: perceptual dHash per
+    image (real resize geometry over the stubbed pixel source) → banded
+    64-bit candidates → in-shuffle Hamming verify.  The synthetic corpus
+    reuses content index ``id % n_distinct`` so ids ≥ n_distinct are exact
+    payload duplicates of earlier rows — the pairs the stage must find."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from post_ocr_corrector_ray.stages import dedup as dd
+    from post_ocr_corrector_ray.stages import multimodal as mm
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy()
+        t = mm.media_batch(ids % n_distinct, seed=42)
+        return t.set_column(t.schema.get_field_index("media_id"),
+                            "media_id", pa.array(ids, pa.int64()))
+
+    media = ray.data.range(n, override_num_blocks=8).map_batches(
+        gen, batch_format="pyarrow")
+    sigs = media.map_batches(mm.phash_batch, batch_format="pyarrow",
+                             batch_size=32, num_cpus=1)
+    return dd.hash64_candidates(sigs, id_col="media_id", max_hamming=3)
+
+
 def _media_resize(n: int):
     from post_ocr_corrector_ray.stages import multimodal as mm
 
@@ -211,6 +237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_metadata": lambda sf: _media_metadata(200),
         "media_resize": lambda sf: _media_resize(200),
         "media_frame_sample": lambda sf: _media_frame_sample(200),
+        # perceptual-hash image near-dup pairs (banded 64-bit candidates)
+        "media_phash_dups": lambda sf: _media_phash_dups(200),
         # embeddings / similarity search
         "emb_ann_topk": lambda sf: E.emb_ann_topk(sf),
         "emb_ann_topk_lsh": lambda sf: E.emb_ann_topk_lsh(sf),

@@ -466,6 +466,19 @@ def simhash_candidates(ds: ray.data.Dataset, *, text_col: str = "text",
                           batch_format="pyarrow",
                           fn_kwargs=dict(text_col=text_col, id_col=id_col,
                                          k_shingle=k_shingle))
+    return hash64_candidates(sigs, id_col=id_col, max_hamming=max_hamming,
+                             n_chunks=n_chunks)
+
+
+def hash64_candidates(sigs: ray.data.Dataset, *, id_col: str = "doc_id",
+                      max_hamming: int = 3,
+                      n_chunks: int = 4) -> ray.data.Dataset:
+    """Banded near-dup candidate pairs over ANY 64-bit signature dataset
+    (column ``simhash``: int64 bit pattern — simhash, perceptual dHash, …):
+    equal chunk (64/n_chunks bits) → bucket → vectorized Hamming verify
+    inside the bucket shuffle (signatures are carried through, nothing is
+    re-read).  Pigeonhole: every pair with hamming < n_chunks shares a
+    chunk."""
     chunk_bits = 64 // n_chunks
     chunk_mask = (1 << chunk_bits) - 1
 

@@ -160,6 +160,39 @@ def sample_pixels(payload: bytes, ys: np.ndarray, xs: np.ndarray, *,
     return (mixed & np.uint64(0xFF)).astype(np.uint8)
 
 
+def phash_batch(batch: pa.Table, *, payload_col: str = "payload",
+                id_col: str = "media_id", fake: bool = True) -> pa.Table:
+    """64-bit perceptual difference hash (dHash) per IMAGE row: an 8×9
+    grayscale grid via the real resize geometry (``resize_plan``) over the
+    pixel source (stubbed; see ``sample_pixels``), adjacent-column
+    comparisons → 64 bits.  Identical payloads hash identically regardless
+    of media_id, so exact/near image duplicates collide.  Non-image rows
+    emit nothing (audio/video have no dHash).  Output column is named
+    ``simhash`` so the banded 64-bit candidate machinery
+    (stages/dedup.py::hash64_candidates) applies unchanged."""
+    ids: list[int] = []
+    vals: list[int] = []
+    for mid, payload in zip(batch.column(id_col).to_pylist(),
+                            batch.column(payload_col).to_pylist()):
+        payload = payload or b""
+        kind = sniff_kind(payload)
+        meta = (parse_png_header(payload) if kind == "png"
+                else parse_jpeg_header(payload) if kind == "jpeg" else {})
+        if not meta.get("width") or not meta.get("height"):
+            continue
+        ys, xs = resize_plan(meta["height"], meta["width"], 8, 9)
+        yy, xx = np.meshgrid(ys, xs, indexing="ij")
+        g = sample_pixels(payload, yy.ravel().astype(np.uint64),
+                          xx.ravel().astype(np.uint64),
+                          fake=fake).reshape(8, 9).astype(np.int16)
+        bits = (g[:, 1:] > g[:, :-1]).ravel()
+        h = int.from_bytes(np.packbits(bits).tobytes(), "big")
+        ids.append(int(mid))
+        vals.append(h - (1 << 64) if h >= (1 << 63) else h)  # int64 storage
+    return pa.table({id_col: pa.array(ids, pa.int64()),
+                     "simhash": pa.array(vals, pa.int64())})
+
+
 def resize_plan(src_h: int, src_w: int, dst_h: int, dst_w: int
                 ) -> tuple[np.ndarray, np.ndarray]:
     """REAL nearest-neighbor resize geometry (pixel-center sampling, the

@@ -200,3 +200,30 @@ class TestHostileHeaders:
         assert out.column("n_frames_total")[0].as_py() == 1_000
         # truncation visible: last sampled idx << total
         assert max(out.column("frame_idx").to_pylist()) < 1_000 - 10
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPhashDedup:
+    def test_duplicate_payloads_found_exactly(self):
+        """ids >= 150 reuse content index id-150, so every PNG content value
+        c in {0,4,...,48} yields exactly the pair (c, c+150); random dHashes
+        sharing a 16-bit band AND hamming <= 3 are ~impossible, so the result
+        is pinned exactly."""
+        import __ray_entry__ as entry
+
+        got = entry.queries()["media_phash_dups"]("unused").to_pandas()
+        want = {(c, c + 150) for c in range(0, 50, 4)}
+        assert set(zip(got.id_a, got.id_b)) == want
+        assert (got.hamming == 0).all()
+
+    def test_phash_batch_images_only_and_deterministic(self):
+        import pyarrow as pa
+
+        from post_ocr_corrector_ray.stages import multimodal as mm
+
+        t = mm.media_batch(np.arange(16), seed=42)
+        h1 = mm.phash_batch(t)
+        h2 = mm.phash_batch(t)
+        assert h1.equals(h2)
+        # only PNG rows (id % 4 == 0) are imaged in the synthetic corpus
+        assert h1.column("media_id").to_pylist() == list(range(0, 16, 4))
