@@ -633,8 +633,16 @@ def doc_corpus_prep(sf_dir: str, *, contamination_max: float = 0.2,
         doc_contamination(sf_dir).map_batches(not_contaminated,
                                               batch_format="pyarrow"),
     ]
+    # each keep-set and each semi-join result is pinned (materialize +
+    # coalesce, components._pin): the four keep pipelines each end in
+    # grouped exchanges, and chaining them lazily into ONE plan multiplies
+    # per-block exchange task overheads (the incremental-ingest lesson in
+    # BASELINE.md) — measured 258 s → ~60 s at sf0.1/32cpus.  Keep-sets are
+    # doc_id-only rows; the object store holds (and can spill) them.
+    from ..stages.components import _pin
+
     for k in keeps:
-        surv = hash_join(surv, k, on="doc_id", how="semi")
+        surv = _pin(hash_join(surv, _pin(k, 16), on="doc_id", how="semi"), 16)
     return pack_assignments(surv, "doc_id", "n_words", budget=pack_budget,
                             pack_col="pack_id")
 

@@ -208,6 +208,13 @@ def connected_components(edges: ray.data.Dataset, *,
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.int64()),
                       "component": pa.array([], pa.int64())}))
+    # exchange cost is per TASK: ~10 star-contraction exchanges at P
+    # partitions each cost O(P) fixed task overheads regardless of rows.
+    # Adapt P to the (now known) edge count so a toy graph doesn't pay a
+    # 64-partition sort per round; results are P-independent (grouped_apply
+    # is exact per key at any P).
+    num_partitions = max(8, min(num_partitions, prev_fp[0] // 10_000 + 8))
+    cur = _pin(cur, num_partitions)
     for _ in range(max_rounds):
         sym = cur.map_batches(_symmetrize, batch_format="pyarrow")
         large = grouped_apply(sym, ["u"], _large_star,
@@ -272,6 +279,10 @@ def near_dedup(docs: ray.data.Dataset, pairs: ray.data.Dataset, *,
     """
     from .joins import hash_join
 
+    # pin the (tiny relative to docs) pair set first: an UNPINNED pair
+    # pipeline would otherwise run as one deep DAG under the contraction
+    # loop's repeated exchanges — measured 3× slower at bench scale
+    pairs = _pin(pairs, num_partitions)
     comp = connected_components(pairs, u_col=u_col, v_col=v_col,
                                 num_partitions=num_partitions)
 
@@ -280,7 +291,8 @@ def near_dedup(docs: ray.data.Dataset, pairs: ray.data.Dataset, *,
                                       batch.column("component")))
         return pa.table({id_col: t.column("node")})
 
-    discard = comp.map_batches(losers, batch_format="pyarrow")
+    discard = _pin(comp.map_batches(losers, batch_format="pyarrow"),
+                   num_partitions)
     return hash_join(docs, discard, on=id_col, how="anti",
                      num_partitions=num_partitions)
 
