@@ -104,7 +104,7 @@ def run_benchmarks() -> dict:
         "doc_source_cap", "emb_dedup", "emb_dedup_bucketed",
         "emb_knn_graph", "doc_chunk_windows", "doc_idf",
         "doc_tfidf_top_terms", "doc_inverted_index",
-        "shipping_priority", "doc_embedding_join",
+        "shipping_priority", "doc_embedding_join", "media_phash_dups",
     ]
     qs = entry.queries()
     for name in bench_queries:

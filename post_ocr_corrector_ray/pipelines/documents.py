@@ -818,10 +818,14 @@ def doc_tfidf_top_terms(sf_dir: str, top: int = 3) -> ray.data.Dataset:
     from ..stages.joins import hash_join
     from ..stages.shuffle import grouped_apply
 
+    from ..stages.components import _pin
+
     tf = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         lambda b: _doc_token_pairs(b, counted=True), batch_format="pyarrow")
-    idf = doc_idf(sf_dir).map_batches(
-        lambda t: t.select(["token", "idf"]), batch_format="pyarrow")
+    # idf is token-cardinality (small next to tf) and ends in a grouped
+    # exchange — pin it so the join exchange doesn't chain onto a deep plan
+    idf = _pin(doc_idf(sf_dir).map_batches(
+        lambda t: t.select(["token", "idf"]), batch_format="pyarrow"), 16)
     joined = hash_join(tf, idf, on="token", how="inner")
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:

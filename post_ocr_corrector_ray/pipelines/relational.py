@@ -425,8 +425,11 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         g = df.groupby("l_orderkey", as_index=False)["rev_e4"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    revenue = grouped_agg(lines.map_batches(partial_rev, batch_format="pyarrow"),
-                          ["l_orderkey"], {"rev_e4": ("rev_e4", "sum")})
+    from ..stages.components import _pin
+
+    revenue = _pin(
+        grouped_agg(lines.map_batches(partial_rev, batch_format="pyarrow"),
+                    ["l_orderkey"], {"rev_e4": ("rev_e4", "sum")}), 16)
     joined = hash_join(revenue, qual_orders, on="l_orderkey",
                        right_on="o_orderkey", how="inner")
 

@@ -1,0 +1,160 @@
+"""Edge cases for the round-2 additions: window chunking on empty/short
+docs, k-NN graph with k exceeding available neighbors, and the blockwise
+pair kernel under adversarial block layouts (the cross-block ordering bug
+class fixed in stages/embed.py::cosine_pairs_blockwise)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, rows):
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["xx"] * len(rows), pa.string()),
+        "source": pa.array(["s"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(t, f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChunkWindowsEdges:
+    def test_empty_and_short_docs(self, tmp_path):
+        from post_ocr_corrector_ray.pipelines.documents import doc_chunk_windows
+
+        sf = _write_docs(tmp_path, [
+            (1, ""),                      # no words → no chunks
+            (2, "   "),                   # whitespace only → no chunks
+            (3, "one two three"),         # < win → single partial window
+            (4, " ".join(f"w{i}" for i in range(65))),  # win+1 words
+        ])
+        got = doc_chunk_windows(sf, win=64, stride=32).to_pandas() \
+            .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+        assert set(got.doc_id) == {3, 4}
+        d3 = got[got.doc_id == 3]
+        assert len(d3) == 1 and d3.iloc[0].chunk_text == "one two three"
+        assert d3.iloc[0].chunk_n_words == 3
+        d4 = got[got.doc_id == 4]
+        # 65 words, stride 32 → starts 0, 32, 64
+        assert d4.chunk_start.tolist() == [0, 32, 64]
+        assert d4.chunk_n_words.tolist() == [64, 33, 1]
+        assert d4.iloc[2].chunk_text == "w64"
+
+    def test_windows_cover_all_words_once_per_stride(self, tmp_path):
+        from post_ocr_corrector_ray.pipelines.documents import doc_chunk_windows
+
+        words = [f"t{i}" for i in range(100)]
+        sf = _write_docs(tmp_path, [(7, " ".join(words))])
+        got = doc_chunk_windows(sf, win=64, stride=32).to_pandas()
+        rebuilt = []
+        for _, r in got.sort_values("chunk_idx").iterrows():
+            rebuilt.extend(r.chunk_text.split()[: 32])  # first stride words
+        # first-stride prefixes tile the document except the final tail
+        assert rebuilt == words[: len(rebuilt)]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKnnGraphEdges:
+    def test_k_exceeds_population(self):
+        """k larger than n-1 → every other vector is returned, ranked."""
+        import ray.data
+
+        from post_ocr_corrector_ray.stages.embed import knn_graph_blockwise
+
+        rng = np.random.default_rng(3)
+        n = 6
+        t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                      "embedding": pa.array(
+                          rng.standard_normal((n, 4)).tolist(),
+                          pa.list_(pa.float64()))})
+        got = knn_graph_blockwise(ray.data.from_arrow(t), k=10,
+                                  num_blocks=3).to_pandas()
+        counts = got.groupby("vec_id").size()
+        assert (counts == n - 1).all()
+        # rank is a 1..n-1 permutation per vector
+        for _, g in got.groupby("vec_id"):
+            assert sorted(g.nn_rank) == list(range(1, n))
+
+    def test_matches_bruteforce(self):
+        import ray.data
+
+        from post_ocr_corrector_ray.stages.embed import knn_graph_blockwise
+
+        rng = np.random.default_rng(11)
+        n, k = 40, 5
+        m = rng.standard_normal((n, 8))
+        t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                      "embedding": pa.array(m.tolist(), pa.list_(pa.float64()))})
+        got = knn_graph_blockwise(ray.data.from_arrow(t), k=k,
+                                  num_blocks=4).to_pandas() \
+            .sort_values(["vec_id", "nn_rank"]).reset_index(drop=True)
+        norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(norm @ norm.T, 6)
+        np.fill_diagonal(sims, -np.inf)
+        for i in range(n):
+            order = sorted(range(n), key=lambda j: (-sims[i, j], j))[:k]
+            sub = got[got.vec_id == i]
+            assert sub.nn_id.tolist() == order
+            assert sub.nn_sim.tolist() == [sims[i, j] for j in order]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBlockwisePairsLayoutInvariance:
+    def test_pairs_complete_under_any_block_count(self):
+        """The cross-block ordering bug (id_a < id_b applied off-diagonal)
+        dropped pairs depending on repartition layout — pin completeness for
+        several block counts."""
+        import ray.data
+
+        from post_ocr_corrector_ray.stages.embed import cosine_pairs_blockwise
+
+        rng = np.random.default_rng(5)
+        n = 60
+        base = rng.standard_normal((6, 5))
+        m = base[rng.integers(0, 6, n)] + rng.standard_normal((n, 5)) * 0.05
+        ids = rng.permutation(n).astype(np.int64)   # ids deliberately shuffled
+        t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                      "embedding": pa.array(m.tolist(), pa.list_(pa.float64()))})
+        norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(norm @ norm.T, 6)
+        want = set()
+        for i in range(n):
+            for j in range(n):
+                if ids[i] < ids[j] and sims[i, j] >= 0.9:
+                    want.add((int(ids[i]), int(ids[j])))
+        for nb in (1, 3, 8):
+            got = cosine_pairs_blockwise(ray.data.from_arrow(t), threshold=0.9,
+                                         num_blocks=nb).to_pandas()
+            assert set(zip(got.id_a, got.id_b)) == want, f"num_blocks={nb}"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIdfInvertedIndexEdges:
+    def test_idf_and_index_consistent(self, tmp_path):
+        from post_ocr_corrector_ray.pipelines.documents import (
+            doc_idf,
+            doc_inverted_index,
+        )
+
+        sf = _write_docs(tmp_path, [
+            (1, "alpha beta beta"),
+            (2, "beta gamma"),
+            (3, ""),
+        ])
+        idf = doc_idf(sf).to_pandas().set_index("token")
+        idx = doc_inverted_index(sf).to_pandas().set_index("token")
+        assert idf.loc["beta", "df"] == 2 and idx.loc["beta", "postings"] == "1,2"
+        assert idf.loc["alpha", "df"] == 1 and idx.loc["alpha", "postings"] == "1"
+        # idf uses total doc count INCLUDING empty docs (N=3)
+        assert idf.loc["gamma", "idf"] == np.round(np.log(3 / 1), 6)
+        pd.testing.assert_series_equal(idf["df"].sort_index(),
+                                       idx["df"].sort_index(),
+                                       check_names=False)
