@@ -165,6 +165,9 @@ def events_hourly(sf_dir: str) -> pa.Table:
         .to_pandas()
     agg["n"] = agg["n"].astype("int64")
     agg["value_cents"] = agg["value_cents"].astype("int64")
+    # normalize to microsecond resolution (the parquet/SQL timestamp unit) so
+    # strict value-hash comparators see identical int64 payloads
+    agg["hour"] = agg["hour"].astype("datetime64[us]")
     return pa.Table.from_pandas(agg.sort_values(["event_type", "hour"]), preserve_index=False)
 
 
@@ -443,7 +446,8 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         ascending=[False, True, True]).head(k)
     res = pd.DataFrame({"l_orderkey": top["l_orderkey"].astype("int64"),
                         "revenue": top["rev_e4"].astype("int64") / 10000.0,
-                        "o_orderdate": top["o_orderdate"]})
+                        "o_orderdate":
+                            top["o_orderdate"].astype("datetime64[us]")})
     return pa.Table.from_pandas(res, preserve_index=False)
 
 
