@@ -97,6 +97,8 @@ class TestOracleParitySubset:
         "doc_tfidf_top_terms", "doc_inverted_index",
         # TPC-H Q3 shape + cross-table doc⋈emb join
         "shipping_priority", "doc_embedding_join",
+        # tumbling-window aggregate (datetime output column)
+        "events_hourly",
     ])
     def test_query_matches_oracle(self, con, name):
         import __ray_entry__ as entry
@@ -107,6 +109,20 @@ class TestOracleParitySubset:
         got, want = _canon(got), _canon(want)
         assert list(got.columns) == list(want.columns)
         pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    @pytest.mark.parametrize("name,col", [
+        ("events_hourly", "hour"),
+        ("shipping_priority", "o_orderdate"),
+    ])
+    def test_datetime_outputs_are_microsecond(self, name, col):
+        """Datetime columns leave the engine at microsecond resolution — the
+        parquet/DuckDB timestamp unit — so resolution-sensitive value-hash
+        comparators see identical int64 payloads."""
+        import __ray_entry__ as entry
+
+        res = entry.queries()[name](SF)
+        got = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+        assert str(got[col].dtype) == "datetime64[us]"
 
 
 class TestExplodeChunks:
