@@ -638,11 +638,18 @@ def doc_corpus_prep(sf_dir: str, *, contamination_max: float = 0.2,
     # grouped exchanges, and chaining them lazily into ONE plan multiplies
     # per-block exchange task overheads (the incremental-ingest lesson in
     # BASELINE.md) — measured 258 s → ~60 s at sf0.1/32cpus.  Keep-sets are
-    # doc_id-only rows; the object store holds (and can spill) them.
+    # doc_id-only rows; the object store holds (and can spill) them.  The
+    # four keep pipelines are independent, so they materialize concurrently
+    # from driver threads (each owns its own Ray Data execution) instead of
+    # serializing four cluster-wide passes.
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..stages.components import _pin
 
-    for k in keeps:
-        surv = _pin(hash_join(surv, _pin(k, 16), on="doc_id", how="semi"), 16)
+    with ThreadPoolExecutor(max_workers=len(keeps)) as ex:
+        pinned = list(ex.map(lambda k: _pin(k, 16), keeps))
+    for k in pinned:
+        surv = _pin(hash_join(surv, k, on="doc_id", how="semi"), 16)
     return pack_assignments(surv, "doc_id", "n_words", budget=pack_budget,
                             pack_col="pack_id")
 

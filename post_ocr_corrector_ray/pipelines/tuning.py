@@ -64,10 +64,21 @@ def dictionary_min_frequency_sweep(
         return evaluate(corrected, out_col="corrected_text",
                         correct_col=clean_col)
 
+    # Sweep points are independent streaming evaluations over the same split;
+    # run them concurrently from driver threads (each owns its own Ray Data
+    # execution) instead of serializing passes that each use only
+    # ``concurrency`` actors of the cluster.  Selection stays deterministic:
+    # results are indexed by option order, winner = strict-< first-wins.
+    from concurrent.futures import ThreadPoolExecutor
+
+    if options:
+        with ThreadPoolExecutor(max_workers=min(8, len(options))) as ex:
+            scored = list(ex.map(lambda mf: _score(val_split, mf), options))
+    else:
+        scored = []
     rows = []
     best_i, best_cer = -1, None
-    for i, mf in enumerate(options):
-        res = _score(val_split, mf)
+    for i, (mf, res) in enumerate(zip(options, scored)):
         rows.append({"min_frequency": mf, "split": val_split,
                      "mean_cer": res.mean_cer,
                      "percent_perfect": res.percent_perfect, "n": res.n,
