@@ -52,6 +52,13 @@ def dictionary_min_frequency_sweep(
                          (int(f) for f in batch.column("frequency").to_pylist())))
     vocab_ref = ray.put(vocab)
 
+    # Autoscaling pools (min 1 actor): sweep passes run concurrently below,
+    # and N fixed-size pools of ``concurrency`` actors each can reserve every
+    # cluster CPU and starve the feeding task stages (measured deadlock at
+    # num_cpus=4 with 2 passes) — with min=1 each pass always progresses and
+    # pools grow only into free CPUs.
+    pool = concurrency if isinstance(concurrency, tuple) else (1, concurrency)
+
     def _score(split: str, min_frequency: int):
         ds = corpus.filter(expr=f"split == '{split}'")
         corrected = ds.map_batches(
@@ -60,7 +67,7 @@ def dictionary_min_frequency_sweep(
                                        min_frequency=min_frequency,
                                        text_col=messy_col,
                                        out_col="corrected_text"),
-            concurrency=concurrency, num_cpus=1)
+            concurrency=pool, num_cpus=1)
         return evaluate(corrected, out_col="corrected_text",
                         correct_col=clean_col)
 

@@ -110,6 +110,18 @@ class TestOracleParitySubset:
         assert list(got.columns) == list(want.columns)
         pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
+    def test_dictionary_sweep_deterministic_across_runs(self):
+        """The sweep's validation passes run concurrently from driver
+        threads; the winner selection must stay index-ordered (first-wins),
+        so two runs are byte-identical regardless of thread completion
+        order."""
+        import __ray_entry__ as entry
+
+        q = entry.queries()["dictionary_sweep"]
+        a, b = q(SF).to_pandas(), q(SF).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+        assert (a["is_best"].sum() == 2) == (a["split"].nunique() == 2)
+
     @pytest.mark.parametrize("name,col", [
         ("events_hourly", "hour"),
         ("shipping_priority", "o_orderdate"),
