@@ -323,6 +323,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_top_terms": lambda sf: D.doc_tfidf_top_terms(sf),
         # token -> sorted posting list (search-index build)
         "doc_inverted_index": lambda sf: D.doc_inverted_index(sf),
+        # distributed second-moment aggregate: Pearson corr from exact
+        # integer sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy)
+        "events_value_hour_corr": R.events_value_hour_corr,
+        # grouping sets: ROLLUP(region, nation) from the leaf aggregate
+        "supplier_counts_rollup": R.supplier_counts_rollup,
+        # NTILE(8) equal-height length buckets via histogram-offset rank
+        "doc_length_ntile": lambda sf: D.doc_length_ntile(sf),
     }
 
 
@@ -1238,6 +1245,48 @@ def oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN UNBOUNDED PRECEDING
                             AND 1 PRECEDING), 0) // 512 AS BIGINT) AS pack_id
             FROM surv""",
+        # Pearson corr from the SAME exact integer moment sums the engine
+        # shuffles (x = value cents, y = hour of day); the closed-form corr
+        # converts the same int64s through the same double expression, so the
+        # result doubles are bit-identical
+        "events_value_hour_corr": """
+            WITH m AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x*x) AS BIGINT) AS sxx,
+                     CAST(sum(y*y) AS BIGINT) AS syy,
+                     CAST(sum(x*y) AS BIGINT) AS sxy
+              FROM (SELECT event_type,
+                           CAST(round(value*100) AS BIGINT) AS x,
+                           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
+                    FROM events)
+              GROUP BY event_type)
+            SELECT event_type, n,
+                   (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                   AS corr_value_hour
+            FROM m""",
+        # ROLLUP grouping sets with the 'ALL' sentinel (dims are never NULL)
+        "supplier_counts_rollup": """
+            SELECT COALESCE(r_name, 'ALL') AS region_name,
+                   COALESCE(n_name, 'ALL') AS nation_name,
+                   CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)""",
+        # NTILE(8) equal-height buckets over (n_chars, doc_id) order
+        "doc_length_ntile": """
+            SELECT doc_id, n_chars,
+                   CAST(NTILE(8) OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS bucket
+            FROM documents""",
     }
     # the IVF oracle inlines centroids derived from the driver's sf0.01
     # correctness fixture; if that fixture is absent (other deployments),

@@ -905,3 +905,36 @@ def doc_source_cap(sf_dir: str, cap: int = 20) -> ray.data.Dataset:
         return out[out["source_rank"] <= cap]
 
     return grouped_apply(docs, ["source"], topk)
+
+
+def doc_length_ntile(sf_dir: str, n: int = 8) -> ray.data.Dataset:
+    """NTILE(n) OVER (ORDER BY n_chars, doc_id): equal-height length buckets
+    for stratified curriculum/sharding, WITHOUT a global sort — reuses the
+    histogram-offset global ROW_NUMBER (stages/quantiles.py::global_rank)
+    plus the exact SQL NTILE size rule applied vectorized per partition:
+    with t rows and q, r = divmod(t, n), the first r buckets hold q+1 rows
+    and the rest hold q (rank→bucket is closed-form, so no second pass).
+
+    The row total comes from parquet metadata (O(1) driver-side), never a
+    dataset count pass."""
+    import pyarrow.parquet as pq
+
+    from ..stages.quantiles import global_rank
+
+    total = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    q, r = divmod(total, n)
+    ranked = global_rank(_docs(sf_dir, ["doc_id", "n_chars"]),
+                         "n_chars", "doc_id")
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        rank = batch.column("rank").to_numpy().astype(np.int64)
+        qq = max(q, 1)  # total < n → every bucket has ≤1 row, first branch wins
+        bucket = np.where(
+            rank <= r * (q + 1),
+            (rank - 1) // (q + 1),
+            r + (rank - 1 - r * (q + 1)) // qq) + 1
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_chars": batch.column("n_chars"),
+                         "bucket": pa.array(bucket, pa.int64())})
+
+    return ranked.map_batches(bucketize, batch_format="pyarrow")

@@ -460,3 +460,105 @@ def customers_without_events(sf_dir: str) -> ray.data.Dataset:
     events = _read(sf_dir, "events", ["user_id"])
     return hash_join(cust, events, on="c_custkey", right_on="user_id",
                      how="anti")
+
+
+def events_value_hour_corr(sf_dir: str) -> pa.Table:
+    """Per-event-type Pearson correlation between event value and hour of
+    day, as a DISTRIBUTED MERGEABLE-MOMENTS aggregate: each batch emits the
+    six exact integer sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) per
+    key, ONE tiny groupby sums them, and the driver evaluates the closed-form
+    corr.  This is the canonical shape for any second-moment statistic
+    (covariance, variance, stddev, OLS slope) at scale — the shuffle moves
+    one 7-column row per key per batch, never raw events.
+
+    Numeric parity discipline (same as pricing_summary): x = value in integer
+    cents, y = hour ∈ [0, 23] — all six sums are exact int64 on both the
+    engine and SQL side; the final corr converts the SAME integers through
+    the SAME double expression, so the doubles are bit-identical."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_pandas()
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "x": _cents(batch.column("value")),
+            "y": ts.dt.hour.to_numpy().astype(np.int64),
+        })
+        df["xx"] = df["x"] * df["x"]
+        df["yy"] = df["y"] * df["y"]
+        df["xy"] = df["x"] * df["y"]
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+                   Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy")) \
+        .to_pandas()
+    n = out["n"].astype("int64").to_numpy().astype(np.float64)
+    sx = out["sx"].astype("int64").to_numpy().astype(np.float64)
+    sy = out["sy"].astype("int64").to_numpy().astype(np.float64)
+    sxx = out["sxx"].astype("int64").to_numpy().astype(np.float64)
+    syy = out["syy"].astype("int64").to_numpy().astype(np.float64)
+    sxy = out["sxy"].astype("int64").to_numpy().astype(np.float64)
+    corr = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx)
+                                  * np.sqrt(n * syy - sy * sy))
+    res = pd.DataFrame({"event_type": out["event_type"],
+                        "n": out["n"].astype("int64"),
+                        "corr_value_hour": corr})
+    return pa.Table.from_pandas(res.sort_values("event_type"),
+                                preserve_index=False)
+
+
+def supplier_counts_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(region, nation) supplier counts — grouping-sets as a
+    distributed operator: count ONLY the finest (region, nation) level
+    through the shuffle (the leaf aggregate is what's big), then derive the
+    super-aggregate levels by re-summing the tiny leaf table on the driver —
+    counts are summable, so the rollup costs nothing extra at scale.  Rollup
+    rows use the 'ALL' sentinel (the dims are never NULL in the data, so the
+    sentinel is unambiguous on both sides).
+
+    The nation→(region, nation) name lookup is a broadcast dim join: the two
+    dimension tables are tiny, read once driver-side, shipped via ray.put."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"]).to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    region_of = dict(zip(nat["n_nationkey"].astype(int), nat["r_name"]))
+    nation_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    lookup_ref = ray.put((region_of, nation_of))
+
+    ds = _read(sf_dir, "supplier", ["s_nationkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        region_of, nation_of = ray.get(lookup_ref)
+        keys = pd.Series(batch.column("s_nationkey").to_numpy().astype(np.int64))
+        df = pd.DataFrame({"region_name": keys.map(region_of),
+                           "nation_name": keys.map(nation_of)})
+        g = df.groupby(["region_name", "nation_name"], as_index=False) \
+              .size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    leaf = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["region_name", "nation_name"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    leaf["n"] = leaf["n"].astype("int64")
+    by_region = leaf.groupby("region_name", as_index=False)["n"].sum()
+    by_region["nation_name"] = "ALL"
+    total = pd.DataFrame({"region_name": ["ALL"], "nation_name": ["ALL"],
+                          "n": [leaf["n"].sum()]})
+    res = pd.concat([leaf, by_region[["region_name", "nation_name", "n"]],
+                     total], ignore_index=True)
+    res = res.rename(columns={"n": "n_suppliers"})
+    res["n_suppliers"] = res["n_suppliers"].astype("int64")
+    return pa.Table.from_pandas(
+        res.sort_values(["region_name", "nation_name"]), preserve_index=False)
