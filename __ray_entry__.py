@@ -330,6 +330,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_counts_rollup": R.supplier_counts_rollup,
         # NTILE(8) equal-height length buckets via histogram-offset rank
         "doc_length_ntile": lambda sf: D.doc_length_ntile(sf),
+        # TPC-H Q13 shape: order-count histogram incl. k=0 without an outer join
+        "customer_order_dist": R.customer_order_dist,
+        # runtime-bloom-prefiltered exact semi join (big/big join pushdown)
+        "customers_with_events_bloom": R.customers_with_events_bloom,
+        # whole-partition window aggregate as two-pass broadcast (z-score)
+        "events_value_zscore": R.events_value_zscore,
     }
 
 
@@ -1287,6 +1293,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NTILE(8) OVER (ORDER BY n_chars, doc_id)
                         AS BIGINT) AS bucket
             FROM documents""",
+        # Q13 via the outer join the engine deliberately avoids
+        "customer_order_dist": """
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                  GROUP BY c.c_custkey)
+            GROUP BY c_count""",
+        # the bloom prefilter is exactness-preserving, so the oracle is the
+        # plain IN-subquery semi join
+        "customers_with_events_bloom": """
+            SELECT c_custkey, c_name
+            FROM customer
+            WHERE c_custkey IN (SELECT user_id FROM events)""",
+        # same closed-form double expression from the same exact int64 moment
+        # sums (x = value cents), so the doubles are bit-identical
+        "events_value_zscore": """
+            WITH x AS (SELECT event_id, event_type,
+                              CAST(round(value*100) AS BIGINT) AS x
+                       FROM events),
+            m AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(x*x) AS BIGINT) AS sxx
+                  FROM x GROUP BY event_type)
+            SELECT x.event_id, x.event_type,
+                   (CAST(x.x AS DOUBLE) - CAST(m.sx AS DOUBLE)/CAST(m.n AS DOUBLE))
+                   / sqrt((CAST(m.n AS DOUBLE)*CAST(m.sxx AS DOUBLE)
+                           - CAST(m.sx AS DOUBLE)*CAST(m.sx AS DOUBLE))
+                          / (CAST(m.n AS DOUBLE)*(CAST(m.n AS DOUBLE)-1)))
+                   AS z_value
+            FROM x JOIN m USING (event_type)""",
     }
     # the IVF oracle inlines centroids derived from the driver's sf0.01
     # correctness fixture; if that fixture is absent (other deployments),

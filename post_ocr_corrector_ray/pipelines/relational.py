@@ -562,3 +562,122 @@ def supplier_counts_rollup(sf_dir: str) -> pa.Table:
     res["n_suppliers"] = res["n_suppliers"].astype("int64")
     return pa.Table.from_pandas(
         res.sort_values(["region_name", "nation_name"]), preserve_index=False)
+
+
+def customer_order_dist(sf_dir: str) -> pa.Table:
+    """TPC-H Q13-shaped customer order-count distribution (how many customers
+    placed exactly k orders, including k = 0) WITHOUT the outer join: the
+    per-customer count is a pre-combined coarse-hash groupby over orders
+    only, the count→custdist histogram pre-combines again per block (so the
+    second shuffle moves one row per distinct count per block), and the k = 0
+    row is derived arithmetically — total customers (parquet metadata, O(1)
+    driver-side) minus customers that appear in orders.  The customer table
+    itself is never scanned, joined, or shuffled.
+    """
+    import pyarrow.parquet as pq
+
+    from ..stages.shuffle import grouped_agg
+
+    total_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"o_custkey": batch.column("o_custkey").to_numpy()})
+        g = df.groupby("o_custkey", as_index=False).size() \
+              .rename(columns={"size": "c_count"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = grouped_agg(orders.map_batches(count_partial, batch_format="pyarrow"),
+                           ["o_custkey"], {"c_count": ("c_count", "sum")})
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_count", as_index=False).size() \
+                 .rename(columns={"size": "custdist"})
+
+    hist = per_cust.map_batches(hist_partial, batch_format="pandas") \
+        .groupby("c_count").aggregate(Sum("custdist", alias_name="custdist")) \
+        .to_pandas()
+    hist["c_count"] = hist["c_count"].astype("int64")
+    hist["custdist"] = hist["custdist"].astype("int64")
+    zero = total_cust - int(hist["custdist"].sum())
+    if zero > 0:
+        hist = pd.concat([hist, pd.DataFrame({"c_count": [0],
+                                              "custdist": [zero]})],
+                         ignore_index=True)
+    return pa.Table.from_pandas(
+        hist.sort_values(["custdist", "c_count"], ascending=[False, False])
+            .reset_index(drop=True), preserve_index=False)
+
+
+def customers_with_events_bloom(sf_dir: str) -> ray.data.Dataset:
+    """Semi join (customers that have ≥1 event) with a RUNTIME BLOOM FILTER
+    prefilter: scan the events key side once into a 128 KiB OR-merged bitmap
+    (stages/bloom.py), broadcast it via ``ray.put``, drop customer rows that
+    cannot match BEFORE the exact co-partitioned semi join — at scale the
+    exchange then moves only the ~matching fraction of the probe side plus a
+    bounded false-positive tail, instead of the whole table.  The final
+    hash_join keeps the result exact (the bloom stage admits no false
+    negatives).
+    """
+    import ray as _ray
+
+    from ..stages.bloom import bloom_prefilter, build_bloom
+    from ..stages.joins import hash_join
+
+    events = _read(sf_dir, "events", ["user_id"])
+    bits_ref = _ray.put(build_bloom(events, "user_id"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    candidates = bloom_prefilter(cust, "c_custkey", bits_ref)
+    return hash_join(candidates, events, on="c_custkey", right_on="user_id",
+                     how="semi")
+
+
+def events_value_zscore(sf_dir: str) -> ray.data.Dataset:
+    """Per-row z-score of event value within its event_type — the
+    whole-partition window aggregate (AVG/STDDEV OVER (PARTITION BY ...)) as
+    a TWO-PASS BROADCAST instead of a shuffle: pass 1 reduces each type to
+    exact integer moment sums (n, Σx, Σx² in cents — the events_value_hour_corr
+    machinery), the tiny per-type table is ``ray.put`` once, and pass 2
+    re-streams the events adding the z column per batch.  No row ever moves
+    through an exchange, which is the right shape when the partition count is
+    small but each partition is huge (the skew case that breaks a
+    groupby-window).
+
+    Numeric parity: both sides evaluate the SAME closed-form double
+    expression z = (x - sx/n) / sqrt((n·sxx - sx²)/(n·(n-1))) from the SAME
+    exact int64 sums, so the doubles are bit-identical.  Types with n = 1
+    would yield NaN (sample stddev undefined) on both sides alike.
+    """
+    import ray as _ray
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": batch.column("event_type").to_pandas(),
+                           "x": _cents(batch.column("value"))})
+        df["xx"] = df["x"] * df["x"]
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sxx=("xx", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = ds.map_batches(moments, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sxx", alias_name="sxx")).to_pandas()
+    stats = {row.event_type: (float(row.n), float(row.sx), float(row.sxx))
+             for row in m.itertuples()}
+    stats_ref = _ray.put(stats)
+
+    def add_z(batch: pa.Table) -> pa.Table:
+        stats = _ray.get(stats_ref)
+        types = batch.column("event_type").to_pandas()
+        x = _cents(batch.column("value")).astype(np.float64)
+        n = types.map(lambda t: stats[t][0]).to_numpy(np.float64)
+        sx = types.map(lambda t: stats[t][1]).to_numpy(np.float64)
+        sxx = types.map(lambda t: stats[t][2]).to_numpy(np.float64)
+        z = (x - sx / n) / np.sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+        return pa.table({"event_id": batch.column("event_id"),
+                         "event_type": batch.column("event_type"),
+                         "z_value": pa.array(z, pa.float64())})
+
+    return ds.map_batches(add_z, batch_format="pyarrow")

@@ -1,0 +1,123 @@
+"""Bloom runtime filter, Q13 histogram, and broadcast z-score window.
+
+Parity tests mirror the driver gate at sf0.001; the bloom stage gets its own
+property checks (no false negatives; bounded false-positive rate).
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from post_ocr_corrector_ray.stages.bloom import (
+    _bitmap_from_keys,
+    _probe_positions,
+    _splitmix64,
+)
+
+SF = "/root/testdata/sf0.001"
+TABLES = "customer orders events"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES.split():
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+class TestBloomKernels:
+    def test_splitmix_deterministic_and_diffuse(self):
+        x = np.arange(1000, dtype=np.uint64)
+        a, b = _splitmix64(x), _splitmix64(x)
+        assert (a == b).all()
+        assert len(np.unique(a)) == 1000  # injective on this range
+
+    def test_no_false_negatives(self):
+        rng = np.random.default_rng(7)
+        keys = rng.integers(0, 2**40, 5000).astype(np.int64)
+        words = _bitmap_from_keys(keys, 1 << 20, 4)
+        pos = _probe_positions(keys, 1 << 20, 4)
+        bit = (words[pos >> 6] >> (pos & np.int64(63)).astype(np.uint64)) & np.uint64(1)
+        assert bit.all()
+
+    def test_false_positive_rate_bounded(self):
+        rng = np.random.default_rng(8)
+        member = rng.integers(0, 2**40, 5000).astype(np.int64)
+        words = _bitmap_from_keys(member, 1 << 20, 4)
+        probe = rng.integers(2**41, 2**42, 20000).astype(np.int64)  # disjoint
+        pos = _probe_positions(probe, 1 << 20, 4)
+        bit = (words[pos >> 6] >> (pos & np.int64(63)).astype(np.uint64)) & np.uint64(1)
+        fp = bit.all(axis=1).mean()
+        # n=5000 keys, m=2^20 bits, k=4 → theoretical fp ≈ 1.2e-6
+        assert fp < 1e-3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOracleParity:
+    def test_customer_order_dist(self, con):
+        from post_ocr_corrector_ray.pipelines.relational import customer_order_dist
+
+        got = customer_order_dist(SF).to_pandas()
+        want = con.execute("""
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                  GROUP BY c.c_custkey)
+            GROUP BY c_count""").fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+        assert (got["custdist"] > 0).all()
+
+    def test_bloom_semi_join(self, con):
+        from post_ocr_corrector_ray.pipelines.relational import (
+            customers_with_events_bloom,
+        )
+
+        got = customers_with_events_bloom(SF).to_pandas()
+        want = con.execute("""
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT user_id FROM events)""").fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+    def test_zscore_bit_identical(self, con):
+        from post_ocr_corrector_ray.pipelines.relational import events_value_zscore
+
+        got = events_value_zscore(SF).to_pandas()
+        want = con.execute("""
+            WITH x AS (SELECT event_id, event_type,
+                              CAST(round(value*100) AS BIGINT) AS x
+                       FROM events),
+            m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(x*x) AS BIGINT) AS sxx
+                  FROM x GROUP BY event_type)
+            SELECT x.event_id, x.event_type,
+                   (CAST(x.x AS DOUBLE) - CAST(m.sx AS DOUBLE)/CAST(m.n AS DOUBLE))
+                   / sqrt((CAST(m.n AS DOUBLE)*CAST(m.sxx AS DOUBLE)
+                           - CAST(m.sx AS DOUBLE)*CAST(m.sx AS DOUBLE))
+                          / (CAST(m.n AS DOUBLE)*(CAST(m.n AS DOUBLE)-1)))
+                   AS z_value
+            FROM x JOIN m USING (event_type)""").fetchdf()
+        g = _canon(got).reset_index(drop=True)
+        w = _canon(want).reset_index(drop=True)
+        # exact bit identity on the double column (the parity discipline)
+        assert (g["z_value"].to_numpy().tobytes()
+                == w["z_value"].to_numpy().tobytes())
+        pd.testing.assert_frame_equal(g.drop(columns="z_value"),
+                                      w.drop(columns="z_value"),
+                                      check_dtype=False)
+
+    def test_zscore_is_standardized(self):
+        from post_ocr_corrector_ray.pipelines.relational import events_value_zscore
+
+        df = events_value_zscore(SF).to_pandas()
+        g = df.groupby("event_type")["z_value"]
+        assert np.allclose(g.mean(), 0.0, atol=1e-9)
+        assert np.allclose(g.std(ddof=1), 1.0, atol=1e-9)
