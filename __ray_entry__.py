@@ -336,6 +336,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_events_bloom": R.customers_with_events_bloom,
         # whole-partition window aggregate as two-pass broadcast (z-score)
         "events_value_zscore": R.events_value_zscore,
+        # ordered conversion funnel (first-touch sequence analytics)
+        "events_funnel": R.events_funnel,
+        # CUBE(region, nation): 4 grouping sets from one leaf aggregate
+        "supplier_counts_cube": R.supplier_counts_cube,
     }
 
 
@@ -1325,6 +1329,35 @@ def oracle_sql() -> dict[str, str]:
                           / (CAST(m.n AS DOUBLE)*(CAST(m.n AS DOUBLE)-1)))
                    AS z_value
             FROM x JOIN m USING (event_type)""",
+        # first-touch funnel: depth = longest prefix of steps whose earliest
+        # occurrences are strictly increasing in time
+        "events_funnel": """
+            WITH m AS (SELECT user_id,
+                              min(CASE WHEN event_type='view' THEN ts END) AS t1,
+                              min(CASE WHEN event_type='click' THEN ts END) AS t2,
+                              min(CASE WHEN event_type='purchase' THEN ts END) AS t3
+                       FROM events GROUP BY user_id),
+            d AS (SELECT CASE WHEN t1 IS NULL THEN 0
+                              WHEN t2 IS NULL OR t2 <= t1 THEN 1
+                              WHEN t3 IS NULL OR t3 <= t2 THEN 2
+                              ELSE 3 END AS depth
+                  FROM m),
+            s(step, step_name) AS (VALUES (1, 'view'), (2, 'click'),
+                                          (3, 'purchase'))
+            SELECT CAST(s.step AS BIGINT) AS step, s.step_name,
+                   CAST(count(d.depth) AS BIGINT) AS n_users
+            FROM s LEFT JOIN d ON d.depth >= s.step
+            GROUP BY s.step, s.step_name""",
+        # all four grouping sets; dims are never NULL so COALESCE('ALL') is
+        # unambiguous
+        "supplier_counts_cube": """
+            SELECT COALESCE(r_name, 'ALL') AS region_name,
+                   COALESCE(n_name, 'ALL') AS nation_name,
+                   CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY CUBE(r_name, n_name)""",
     }
     # the IVF oracle inlines centroids derived from the driver's sf0.01
     # correctness fixture; if that fixture is absent (other deployments),

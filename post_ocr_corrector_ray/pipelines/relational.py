@@ -452,14 +452,28 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
 
 
 def customers_without_events(sf_dir: str) -> ray.data.Dataset:
-    """Anti join: customers who never produced an event (hash_join
-    how='anti') — the churn/inactivity filter shape."""
+    """Anti join (customers who never produced an event) with BLOOM ROUTING:
+    a Bloom MISS is exact (no false negatives), so probe rows that miss the
+    broadcast filter are routed STRAIGHT to the output with no exchange;
+    only the hit fraction (true matches + a ~1e-6 false-positive tail) pays
+    the co-partitioned exact anti join that weeds out false positives.  For
+    a selective anti join — the churn/inactivity shape, where most rows
+    don't match — the shuffle therefore moves only the small matching
+    fraction of the probe side instead of the whole table.
+    """
+    import ray as _ray
+
+    from ..stages.bloom import bloom_prefilter, build_bloom
     from ..stages.joins import hash_join
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     events = _read(sf_dir, "events", ["user_id"])
-    return hash_join(cust, events, on="c_custkey", right_on="user_id",
-                     how="anti")
+    bits_ref = _ray.put(build_bloom(events, "user_id"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    definite_miss = bloom_prefilter(cust, "c_custkey", bits_ref, invert=True)
+    maybe_hit = bloom_prefilter(cust, "c_custkey", bits_ref)
+    verified = hash_join(maybe_hit, events, on="c_custkey", right_on="user_id",
+                         how="anti")
+    return definite_miss.union(verified)
 
 
 def events_value_hour_corr(sf_dir: str) -> pa.Table:
@@ -681,3 +695,81 @@ def events_value_zscore(sf_dir: str) -> ray.data.Dataset:
                          "z_value": pa.array(z, pa.float64())})
 
     return ds.map_batches(add_z, batch_format="pyarrow")
+
+
+def events_funnel(sf_dir: str,
+                  steps: tuple[str, ...] = ("view", "click", "purchase")
+                  ) -> pa.Table:
+    """Ordered conversion funnel: how many users completed step 1, steps
+    1→2 in time order, steps 1→2→3, … (first-touch semantics: a step counts
+    if the user's EARLIEST occurrence of it is strictly after the earliest
+    occurrence of the previous step).  The sequence-analytics shape over an
+    event stream, computed with NO per-user shuffle of raw events: the only
+    exchange carries one (user, step, min_ts) row per user-step per batch —
+    min is combine-safe — then the per-user depth and the depth histogram
+    both pre-combine per block, so the driver sees len(steps) rows.
+    """
+    from ..stages.shuffle import grouped_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": batch.column("user_id").to_numpy(),
+                           "event_type": batch.column("event_type").to_pandas(),
+                           "ts": batch.column("ts").to_pandas()})
+        df = df[df["event_type"].isin(steps)]
+        g = df.groupby(["user_id", "event_type"], as_index=False)["ts"].min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    firsts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def depth_per_user(df: pd.DataFrame) -> pd.DataFrame:
+        # min-combine partials, pivot to one row per user, walk the steps
+        g = df.groupby(["user_id", "event_type"], as_index=False)["ts"].min()
+        piv = g.pivot(index="user_id", columns="event_type", values="ts")
+        depth = np.zeros(len(piv), dtype=np.int64)
+        prev = None
+        for i, s in enumerate(steps):
+            t = piv[s] if s in piv.columns else pd.Series(pd.NaT, index=piv.index)
+            ok = t.notna() if prev is None else (t.notna() & prev.notna()
+                                                 & (t > prev))
+            if i == 0:
+                alive = ok
+            else:
+                alive = alive & ok
+            depth = np.where(alive.to_numpy(), i + 1, depth)
+            prev = t
+        out = pd.DataFrame({"depth": depth})
+        return out.groupby("depth", as_index=False).size() \
+                  .rename(columns={"size": "n"})
+
+    hist = grouped_apply(firsts, ["user_id"], depth_per_user) \
+        .groupby("depth").aggregate(Sum("n", alias_name="n")).to_pandas()
+    # users completing ≥ step i = sum of depth counts from i up
+    counts = {int(r.depth): int(r.n) for r in hist.itertuples()}
+    rows = []
+    for i, s in enumerate(steps, start=1):
+        n = sum(v for d, v in counts.items() if d >= i)
+        rows.append({"step": i, "step_name": s, "n_users": n})
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def supplier_counts_cube(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(region, nation): all four grouping sets derived from
+    the ONE distributed leaf aggregate (supplier_counts_rollup computes the
+    rollup's three) — counts are summable, so the nation-only set is another
+    zero-cost driver re-sum of the tiny leaf table, never a second scan."""
+    leaf = supplier_counts_rollup(sf_dir).to_pandas()
+    leaf = leaf[(leaf["region_name"] != "ALL") | (leaf["nation_name"] != "ALL")]
+    fine = leaf[leaf["nation_name"] != "ALL"]
+    by_nation = fine.groupby("nation_name", as_index=False)["n_suppliers"].sum()
+    by_nation["region_name"] = "ALL"
+    total = pd.DataFrame({"region_name": ["ALL"], "nation_name": ["ALL"],
+                          "n_suppliers": [fine["n_suppliers"].sum()]})
+    res = pd.concat(
+        [leaf, by_nation[["region_name", "nation_name", "n_suppliers"]], total],
+        ignore_index=True)
+    res["n_suppliers"] = res["n_suppliers"].astype("int64")
+    return pa.Table.from_pandas(
+        res.sort_values(["region_name", "nation_name"]).reset_index(drop=True),
+        preserve_index=False)

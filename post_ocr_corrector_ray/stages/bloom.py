@@ -85,8 +85,14 @@ def build_bloom(ds: ray.data.Dataset, col: str, *,
 
 
 def bloom_prefilter(ds: ray.data.Dataset, col: str, bits_ref: "ray.ObjectRef", *,
-                    m_bits: int = 1 << 20, k: int = 4) -> ray.data.Dataset:
+                    m_bits: int = 1 << 20, k: int = 4,
+                    invert: bool = False) -> ray.data.Dataset:
     """Keep only rows whose ``col`` MAY be in the filter (no false negatives).
+
+    With ``invert=True`` keep the rows that are DEFINITELY NOT in the filter —
+    the anti-join routing side: those rows need no exchange at all, because a
+    Bloom miss is exact.  (The ``invert=False`` survivors of an anti join
+    still need the exact join to weed out false positives.)
 
     ``bits_ref`` is a ``ray.put`` of the ``build_bloom`` output — fetched
     zero-copy once per task from the object store, never re-shipped per
@@ -98,6 +104,7 @@ def bloom_prefilter(ds: ray.data.Dataset, col: str, bits_ref: "ray.ObjectRef", *
         keys = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
         pos = _probe_positions(keys, m_bits, k)
         bit = (words[pos >> 6] >> (pos & np.int64(63)).astype(np.uint64)) & np.uint64(1)
-        return batch.filter(pa.array(bit.all(axis=1)))
+        hit = bit.all(axis=1)
+        return batch.filter(pa.array(~hit if invert else hit))
 
     return ds.map_batches(keep, batch_format="pyarrow")

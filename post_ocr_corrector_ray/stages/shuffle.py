@@ -53,11 +53,31 @@ class _EmptySchemaDivergenceFilter(logging.Filter):
         return self._EMPTY_NEW.search(msg) is None
 
 
+class _EmptyBlockSizeEstimateFilter(logging.Filter):
+    """Drop pandas_block's size-estimation warning for ZERO-LENGTH object
+    columns only.
+
+    Ray's ``PandasBlockAccessor.size_bytes`` estimates object-column width
+    with ``np.vectorize``, which raises on size-0 input — so every empty
+    string-typed block a selective exchange produces (e.g. the bloom-routed
+    anti join, where most key partitions are empty) logs a spurious
+    warning.  Genuine estimation failures on non-empty columns still warn.
+    """
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        msg = record.getMessage()
+        return not ("Error calculating size for column" in msg
+                    and "size 0 inputs" in msg)
+
+
 def _install_empty_schema_filter() -> None:
     lg = logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state")
     if not any(isinstance(f, _EmptySchemaDivergenceFilter) for f in lg.filters):
         lg.addFilter(_EmptySchemaDivergenceFilter())
+    pb = logging.getLogger("ray.data._internal.pandas_block")
+    if not any(isinstance(f, _EmptyBlockSizeEstimateFilter) for f in pb.filters):
+        pb.addFilter(_EmptyBlockSizeEstimateFilter())
 
 
 _install_empty_schema_filter()
@@ -84,6 +104,11 @@ def grouped_apply(ds: ray.data.Dataset, key_cols: list[str],
         return add_key_partition(df, key_cols, num_partitions)
 
     def run(df: pd.DataFrame) -> pd.DataFrame:
+        # closures are cloudpickled by value, so WORKER processes never
+        # import this module — install the log filters here (idempotent) or
+        # empty partitions spam the worker log via pandas_block size
+        # estimation
+        _install_empty_schema_filter()
         return fn(df.drop(columns=["_kp"]))
 
     return ds.map_batches(bucketize, batch_format="pandas") \

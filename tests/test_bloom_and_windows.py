@@ -121,3 +121,61 @@ class TestOracleParity:
         g = df.groupby("event_type")["z_value"]
         assert np.allclose(g.mean(), 0.0, atol=1e-9)
         assert np.allclose(g.std(ddof=1), 1.0, atol=1e-9)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFunnelCubeAnti:
+    def test_bloom_routed_anti_join(self, con):
+        from post_ocr_corrector_ray.pipelines.relational import (
+            customers_without_events,
+        )
+
+        got = customers_without_events(SF).to_pandas()
+        want = con.execute("""
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT user_id FROM events)""").fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+    def test_events_funnel(self, con):
+        from post_ocr_corrector_ray.pipelines.relational import events_funnel
+
+        got = events_funnel(SF).to_pandas()
+        want = con.execute("""
+            WITH m AS (SELECT user_id,
+                              min(CASE WHEN event_type='view' THEN ts END) AS t1,
+                              min(CASE WHEN event_type='click' THEN ts END) AS t2,
+                              min(CASE WHEN event_type='purchase' THEN ts END) AS t3
+                       FROM events GROUP BY user_id),
+            d AS (SELECT CASE WHEN t1 IS NULL THEN 0
+                              WHEN t2 IS NULL OR t2 <= t1 THEN 1
+                              WHEN t3 IS NULL OR t3 <= t2 THEN 2
+                              ELSE 3 END AS depth FROM m),
+            s(step, step_name) AS (VALUES (1,'view'),(2,'click'),(3,'purchase'))
+            SELECT CAST(s.step AS BIGINT) AS step, s.step_name,
+                   CAST(count(d.depth) AS BIGINT) AS n_users
+            FROM s LEFT JOIN d ON d.depth >= s.step
+            GROUP BY s.step, s.step_name""").fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+        # funnel counts are monotonically non-increasing by construction
+        srt = got.sort_values("step")["n_users"].to_numpy()
+        assert (np.diff(srt) <= 0).all()
+
+    def test_supplier_counts_cube(self, con):
+        from post_ocr_corrector_ray.pipelines.relational import supplier_counts_cube
+
+        got = supplier_counts_cube(SF).to_pandas()
+        want = con.execute("""
+            SELECT COALESCE(r_name,'ALL') AS region_name,
+                   COALESCE(n_name,'ALL') AS nation_name,
+                   CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM read_parquet('/root/testdata/sf0.001/supplier.parquet') s
+            JOIN read_parquet('/root/testdata/sf0.001/nation.parquet') n
+              ON s.s_nationkey = n.n_nationkey
+            JOIN read_parquet('/root/testdata/sf0.001/region.parquet') r
+              ON n.n_regionkey = r.r_regionkey
+            GROUP BY CUBE(r_name, n_name)""").fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+        # grand total row equals the sum of the leaf level
+        leaf = got[(got.region_name != "ALL") & (got.nation_name != "ALL")]
+        tot = got[(got.region_name == "ALL") & (got.nation_name == "ALL")]
+        assert int(tot["n_suppliers"].iloc[0]) == int(leaf["n_suppliers"].sum())
