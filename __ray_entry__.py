@@ -340,6 +340,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": R.events_funnel,
         # CUBE(region, nation): 4 grouping sets from one leaf aggregate
         "supplier_counts_cube": R.supplier_counts_cube,
+        # adjacent-bigram PMI collocations (phrase mining)
+        "doc_bigram_pmi": lambda sf: D.doc_bigram_pmi(sf),
+        # argmax-by-key: latest event row per user (CDC/compaction shape)
+        "events_latest_per_user": R.events_latest_per_user,
+        # fixed-width value histogram (profiling)
+        "events_value_histogram": R.events_value_histogram,
+        # Q5-lite: co-partitioned orders ⋈ customer + broadcast dims
+        "revenue_by_nation": R.revenue_by_nation,
     }
 
 
@@ -1358,6 +1366,58 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY CUBE(r_name, n_name)""",
+        # adjacent-bigram PMI from the same counts and the same double
+        # expression; tokens split exactly like the engine (runs of
+        # whitespace, empties dropped)
+        "doc_bigram_pmi": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                         x -> x <> '') AS l
+              FROM documents),
+            bi AS (
+              SELECT l[i] AS w1, l[i + 1] AS w2
+              FROM toks, LATERAL (SELECT unnest(range(1, len(l))) AS i) r),
+            uni AS (SELECT unnest(l) AS token FROM toks),
+            uc AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+                   FROM uni GROUP BY token),
+            bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+                   FROM bi GROUP BY w1, w2),
+            tot AS (SELECT CAST((SELECT count(*) FROM uni) AS DOUBLE) AS t_uni,
+                           CAST((SELECT count(*) FROM bi) AS DOUBLE) AS t_bi)
+            SELECT bc.w1, bc.w2, bc.c_xy,
+                   round(ln((CAST(bc.c_xy AS DOUBLE) / t_bi)
+                            / ((CAST(u1.c AS DOUBLE) / t_uni)
+                               * (CAST(u2.c AS DOUBLE) / t_uni))), 6) AS pmi
+            FROM bc
+            JOIN uc u1 ON bc.w1 = u1.token
+            JOIN uc u2 ON bc.w2 = u2.token
+            CROSS JOIN tot
+            WHERE bc.c_xy >= 5""",
+        # argmax-by-key via the window the engine's combine-safe local
+        # winners replace
+        "events_latest_per_user": """
+            SELECT event_id, user_id, event_type, ts, value
+            FROM (SELECT e.*, row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events e)
+            WHERE rn = 1""",
+        # same floor(value/width) double division on both sides
+        "events_value_histogram": """
+            SELECT bin, bin * 10.0 AS lo, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin
+                  FROM events)
+            GROUP BY bin""",
+        # Q5-lite: revenue via the same exact integer cents
+        "revenue_by_nation": """
+            SELECT r_name AS region_name, n_name AS nation_name,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) / 100.0 AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name, n_name""",
     }
     # the IVF oracle inlines centroids derived from the driver's sf0.01
     # correctness fixture; if that fixture is absent (other deployments),

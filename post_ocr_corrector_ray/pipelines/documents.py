@@ -938,3 +938,80 @@ def doc_length_ntile(sf_dir: str, n: int = 8) -> ray.data.Dataset:
                          "bucket": pa.array(bucket, pa.int64())})
 
     return ranked.map_batches(bucketize, batch_format="pyarrow")
+
+
+def doc_bigram_pmi(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
+    """Pointwise mutual information of adjacent word pairs (collocation
+    mining — the phrase-detection shape from word2vec preprocessing), exact
+    and fully distributed: bigram and unigram counts each pre-combine per
+    batch and cross ONE coarse token-keyed exchange; the corpus totals are
+    tiny sums over the two pinned count tables; marginals attach via two
+    co-partitioned fact-fact hash joins (token cardinality on both sides —
+    no broadcast); pmi evaluates vectorized per batch from broadcast scalar
+    totals.  pmi = round(ln((c_xy/B) / ((c_x/T)·(c_y/T))), 6) with T = total
+    tokens, B = total bigrams.
+    """
+    import pandas as pd
+
+    from ..stages.components import _pin
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import grouped_agg
+    from ..stages.textstats import _split_words
+
+    docs = _docs(sf_dir, ["text"])
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").combine_chunks()
+        flat, counts = _split_words(texts)
+        toks = flat.to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        if len(toks) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c_xy": pa.array([], pa.int64())})
+        same = rows[1:] == rows[:-1]  # adjacency never crosses documents
+        d = pd.DataFrame({"w1": toks[:-1][same], "w2": toks[1:][same]})
+        g = d.groupby(["w1", "w2"], as_index=False).size() \
+             .rename(columns={"size": "c_xy"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def unigram_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").combine_chunks()
+        flat, _ = _split_words(texts)
+        cnt = pd.Series(flat.to_numpy(zero_copy_only=False)) \
+            .value_counts().sort_index()
+        return pa.table({"token": pa.array(cnt.index.to_numpy(dtype=object),
+                                           pa.string()),
+                         "c": pa.array(cnt.to_numpy(), pa.int64())})
+
+    bc = _pin(grouped_agg(docs.map_batches(bigram_partial, batch_format="pyarrow"),
+                          ["w1", "w2"], {"c_xy": ("c_xy", "sum")}), 16)
+    uc = _pin(grouped_agg(docs.map_batches(unigram_partial, batch_format="pyarrow"),
+                          ["token"], {"c": ("c", "sum")}), 16)
+    t_uni = float(uc.sum("c"))
+    t_bi = float(bc.sum("c_xy"))
+
+    # Arrow-kernel filter (filter(expr=…) can't type pandas object blocks
+    # coming out of the pinned grouped exchange)
+    import pyarrow.compute as pc
+
+    bc_f = bc.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("c_xy"), min_count)),
+        batch_format="pyarrow")
+    u1 = uc.map_batches(lambda t: t.rename_columns(["w1", "c1"]),
+                        batch_format="pyarrow")
+    u2 = uc.map_batches(lambda t: t.rename_columns(["w2", "c2"]),
+                        batch_format="pyarrow")
+    j = hash_join(hash_join(bc_f, u1, on="w1"), u2, on="w2")
+
+    def add_pmi(batch: pa.Table) -> pa.Table:
+        c_xy = batch.column("c_xy").to_numpy().astype(np.float64)
+        c1 = batch.column("c1").to_numpy().astype(np.float64)
+        c2 = batch.column("c2").to_numpy().astype(np.float64)
+        pmi = np.round(np.log((c_xy / t_bi)
+                              / ((c1 / t_uni) * (c2 / t_uni))), 6)
+        return pa.table({"w1": batch.column("w1"), "w2": batch.column("w2"),
+                         "c_xy": batch.column("c_xy"),
+                         "pmi": pa.array(pmi, pa.float64())})
+
+    return j.map_batches(add_pmi, batch_format="pyarrow")

@@ -773,3 +773,100 @@ def supplier_counts_cube(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         res.sort_values(["region_name", "nation_name"]).reset_index(drop=True),
         preserve_index=False)
+
+
+def events_latest_per_user(sf_dir: str) -> ray.data.Dataset:
+    """Latest event per user (max ts, ties → max event_id) — the
+    "current snapshot per key" shape behind CDC compaction and last-touch
+    attribution.  argmax-by-key is combine-safe: each batch keeps one
+    candidate row per user BEFORE the exchange, so the shuffle moves ≤ one
+    row per user per batch and the per-partition reduce re-applies the same
+    deterministic winner rule."""
+    from ..stages.shuffle import grouped_apply
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "ts", "value"])
+
+    def local_latest(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["user_id", "ts", "event_id"],
+                              ascending=[True, False, False]) \
+                 .drop_duplicates("user_id", keep="first")
+
+    partials = ds.map_batches(local_latest, batch_format="pandas")
+    return grouped_apply(partials, ["user_id"], local_latest)
+
+
+def events_value_histogram(sf_dir: str, width: float = 10.0) -> pa.Table:
+    """Fixed-width value histogram (bin = floor(value / width)) — the data
+    profiling shape: bins pre-combine per batch, ONE tiny groupby, both
+    sides evaluate the same double division so the binning is bit-identical."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        b = np.floor(v / width).astype(np.int64)
+        cnt = pd.Series(b).value_counts().sort_index()
+        return pa.table({"bin": pa.array(cnt.index.to_numpy(), pa.int64()),
+                         "n": pa.array(cnt.to_numpy(), pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin").aggregate(Sum("n", alias_name="n")).to_pandas()
+    out["bin"] = out["bin"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["lo"] = out["bin"].to_numpy(np.float64) * width
+    return pa.Table.from_pandas(out.sort_values("bin")[["bin", "lo", "n"]],
+                                preserve_index=False)
+
+
+def revenue_by_nation(sf_dir: str) -> pa.Table:
+    """TPC-H Q5-lite: order revenue per (region, nation) of the ordering
+    customer.  Two fact tables co-partition on custkey (orders pre-aggregated
+    to one cents row per customer per batch before the exchange; customer
+    ships only (custkey, nationkey)); the nation/region dimension names
+    attach from a ray.put broadcast; the final nationkey aggregate is tiny."""
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import grouped_agg
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"]).to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    lookup_ref = _ray.put((dict(zip(nat["n_nationkey"].astype(int), nat["n_name"])),
+                           dict(zip(nat["n_nationkey"].astype(int), nat["r_name"]))))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"o_custkey": batch.column("o_custkey").to_numpy(),
+                           "cents": _cents(batch.column("o_totalprice"))})
+        g = df.groupby("o_custkey", as_index=False)["cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = orders.map_batches(order_partial, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+                     batch_format="pyarrow")
+    joined = hash_join(rev, cust, on="o_custkey", how="inner")
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"nk": batch.column("c_nationkey").to_numpy().astype(np.int64),
+                           "cents": batch.column("cents").to_numpy().astype(np.int64)})
+        g = df.groupby("nk", as_index=False)["cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = joined.map_batches(nation_partial, batch_format="pyarrow") \
+        .groupby("nk").aggregate(Sum("cents", alias_name="cents")).to_pandas()
+    nation_of, region_of = _ray.get(lookup_ref)
+    res = pd.DataFrame({
+        "region_name": agg["nk"].astype(int).map(region_of),
+        "nation_name": agg["nk"].astype(int).map(nation_of),
+        "revenue": agg["cents"].astype("int64") / 100.0,
+    })
+    return pa.Table.from_pandas(
+        res.sort_values(["region_name", "nation_name"]).reset_index(drop=True),
+        preserve_index=False)

@@ -64,6 +64,20 @@ def _renamed_schema(ds: ray.data.Dataset, renames: dict[str, str]) -> pa.Schema:
                       for n, t in zip(s.names, s.types)])
 
 
+def _as_arrow(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Ensure ``ds`` reports a pyarrow schema.
+
+    A dataset coming out of a pandas ``map_groups`` (e.g. a previous
+    hash_join or grouped_apply) carries a PandasBlockSchema whose types are
+    numpy dtypes / ``object`` — the harmonization below needs pyarrow types.
+    The identity conversion costs nothing extra: pandas blocks pay the
+    to-arrow conversion at the pad stage anyway, and Ray fuses the map."""
+    s = ds.schema()
+    if s is None or all(isinstance(t, pa.DataType) for t in (s.types or [])):
+        return ds
+    return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+
 def _union_tagged(left: ray.data.Dataset, right: ray.data.Dataset,
                   right_renames: dict[str, str],
                   right_keep: list[str] | None = None,
@@ -72,6 +86,7 @@ def _union_tagged(left: ray.data.Dataset, right: ray.data.Dataset,
     """Harmonize schemas (with the right side's columns renamed, and either
     side optionally restricted to ``*_keep``) and union the two tagged
     datasets.  Returns (union_ds, left_cols, right_cols)."""
+    left, right = _as_arrow(left), _as_arrow(right)
     ls = left.schema()
     if left_keep is not None:
         ls = pa.schema([pa.field(n, ls.types[ls.names.index(n)])
@@ -115,6 +130,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     column, also listed in ``right_cols`` or not) breaks equal-``on`` ties by
     maximum.  Output = every left column + the renamed right columns.
     """
+    left, right = _as_arrow(left), _as_arrow(right)
     renames = {right_by: by, right_on: on}
     keep = [right_by, right_on] + [c for c in right_cols if c not in (right_by, right_on)]
     if tie_col not in keep:
@@ -226,6 +242,7 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     # a fully-empty upstream (e.g. a grouped aggregate over zero rows) has no
     # schema at all — or an empty block schema without the key column;
     # resolve such joins without an exchange
+    left, right = _as_arrow(left), _as_arrow(right)
     ls_raw, rs_raw = left.schema(), right.schema()
     if ls_raw is None or on not in (ls_raw.names or []):
         return left

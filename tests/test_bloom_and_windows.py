@@ -179,3 +179,89 @@ class TestFunnelCubeAnti:
         leaf = got[(got.region_name != "ALL") & (got.nation_name != "ALL")]
         tot = got[(got.region_name == "ALL") & (got.nation_name == "ALL")]
         assert int(tot["n_suppliers"].iloc[0]) == int(leaf["n_suppliers"].sum())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPmiHistLatestRevenue:
+    def test_doc_bigram_pmi(self):
+        import duckdb
+
+        from post_ocr_corrector_ray.pipelines.documents import doc_bigram_pmi
+
+        got = doc_bigram_pmi(SF).to_pandas()
+        c = duckdb.connect()
+        c.execute("PRAGMA threads=2")
+        c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                  f"read_parquet('{SF}/documents.parquet')")
+        want = c.execute(r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                         x -> x <> '') AS l FROM documents),
+            bi AS (SELECT l[i] AS w1, l[i + 1] AS w2
+                   FROM toks, LATERAL (SELECT unnest(range(1, len(l))) AS i) r),
+            uni AS (SELECT unnest(l) AS token FROM toks),
+            uc AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+                   FROM uni GROUP BY token),
+            bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+                   FROM bi GROUP BY w1, w2),
+            tot AS (SELECT CAST((SELECT count(*) FROM uni) AS DOUBLE) AS t_uni,
+                           CAST((SELECT count(*) FROM bi) AS DOUBLE) AS t_bi)
+            SELECT bc.w1, bc.w2, bc.c_xy,
+                   round(ln((CAST(bc.c_xy AS DOUBLE) / t_bi)
+                            / ((CAST(u1.c AS DOUBLE) / t_uni)
+                               * (CAST(u2.c AS DOUBLE) / t_uni))), 6) AS pmi
+            FROM bc JOIN uc u1 ON bc.w1 = u1.token
+            JOIN uc u2 ON bc.w2 = u2.token
+            CROSS JOIN tot WHERE bc.c_xy >= 5""").fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+    def test_events_latest_per_user(self, con):
+        from post_ocr_corrector_ray.pipelines.relational import (
+            events_latest_per_user,
+        )
+
+        got = events_latest_per_user(SF).to_pandas()
+        want = con.execute("""
+            SELECT event_id, user_id, event_type, ts, value
+            FROM (SELECT e.*, row_number() OVER (
+                      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events e) WHERE rn = 1""").fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+        assert got["user_id"].is_unique
+
+    def test_events_value_histogram(self, con):
+        from post_ocr_corrector_ray.pipelines.relational import (
+            events_value_histogram,
+        )
+
+        got = events_value_histogram(SF).to_pandas()
+        want = con.execute("""
+            SELECT bin, bin * 10.0 AS lo, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin FROM events)
+            GROUP BY bin""").fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+        # histogram covers every event exactly once
+        total = con.execute("SELECT count(*) FROM events").fetchone()[0]
+        assert int(got["n"].sum()) == total
+
+    def test_revenue_by_nation(self, con):
+        import duckdb
+
+        from post_ocr_corrector_ray.pipelines.relational import revenue_by_nation
+
+        c = duckdb.connect()
+        c.execute("PRAGMA threads=2")
+        for t in ("orders", "customer", "nation", "region"):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                      f"read_parquet('{SF}/{t}.parquet')")
+        got = revenue_by_nation(SF).to_pandas()
+        want = c.execute("""
+            SELECT r_name AS region_name, n_name AS nation_name,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) / 100.0 AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name, n_name""").fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
