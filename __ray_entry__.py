@@ -348,6 +348,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": R.events_value_histogram,
         # Q5-lite: co-partitioned orders ⋈ customer + broadcast dims
         "revenue_by_nation": R.revenue_by_nation,
+        # weekly cohort retention triangle (product analytics)
+        "events_cohort_retention": R.events_cohort_retention,
+        # PERCENT_RANK window via histogram-offset rank, no global sort
+        "doc_length_percent_rank": lambda sf: D.doc_length_percent_rank(sf),
     }
 
 
@@ -1418,6 +1422,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r_name, n_name""",
+        # Monday-truncated weeks on both sides; offsets divide aligned week
+        # starts exactly
+        "events_cohort_retention": """
+            WITH uw AS (SELECT DISTINCT user_id,
+                               CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+                        FROM events),
+            c AS (SELECT user_id, min(week) AS cohort_week
+                  FROM uw GROUP BY user_id)
+            SELECT c.cohort_week,
+                   CAST(date_diff('week', c.cohort_week, uw.week)
+                        AS BIGINT) AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM uw JOIN c USING (user_id)
+            GROUP BY 1, 2""",
+        # unique full ordering (doc_id tiebreak) → RANK ≡ ROW_NUMBER; both
+        # sides divide the same ints as doubles
+        "doc_length_percent_rank": """
+            SELECT doc_id, n_chars,
+                   percent_rank() OVER (ORDER BY n_chars, doc_id) AS pr
+            FROM documents""",
     }
     # the IVF oracle inlines centroids derived from the driver's sf0.01
     # correctness fixture; if that fixture is absent (other deployments),

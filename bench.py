@@ -110,6 +110,7 @@ def run_benchmarks() -> dict:
         "customers_with_events_bloom", "events_value_zscore",
         "events_funnel", "doc_bigram_pmi", "events_latest_per_user",
         "events_value_histogram", "revenue_by_nation",
+        "events_cohort_retention", "doc_length_percent_rank",
     ]
     # Each query is timed as the best of two consecutive runs: the first
     # execution in a session pays Ray worker-pool spin-up and parquet

@@ -1015,3 +1015,28 @@ def doc_bigram_pmi(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
                          "pmi": pa.array(pmi, pa.float64())})
 
     return j.map_batches(add_pmi, batch_format="pyarrow")
+
+
+def doc_length_percent_rank(sf_dir: str) -> ray.data.Dataset:
+    """PERCENT_RANK() OVER (ORDER BY n_chars, doc_id) — the normalized-rank
+    window over the whole corpus WITHOUT a global sort: histogram-offset
+    global ROW_NUMBER (stages/quantiles.py::global_rank, one value-keyed
+    exchange) and the closed-form (rank-1)/(N-1) applied vectorized per
+    block; N comes from parquet metadata.  The full ordering is unique
+    (doc_id tiebreak), so RANK ≡ ROW_NUMBER on both sides."""
+    import pyarrow.parquet as pq
+
+    from ..stages.quantiles import global_rank
+
+    total = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ranked = global_rank(_docs(sf_dir, ["doc_id", "n_chars"]),
+                         "n_chars", "doc_id")
+
+    def add_pr(batch: pa.Table) -> pa.Table:
+        rank = batch.column("rank").to_numpy().astype(np.float64)
+        pr = (rank - 1.0) / float(total - 1)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_chars": batch.column("n_chars"),
+                         "pr": pa.array(pr, pa.float64())})
+
+    return ranked.map_batches(add_pr, batch_format="pyarrow")

@@ -870,3 +870,44 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         res.sort_values(["region_name", "nation_name"]).reset_index(drop=True),
         preserve_index=False)
+
+
+def events_cohort_retention(sf_dir: str) -> pa.Table:
+    """Weekly cohort retention (how many users from each first-active-week
+    cohort were active k weeks later) — the product-analytics triangle.
+    Distributed shape: per-batch DISTINCT (user, week) rows are the only
+    exchange payload; the per-user cohort (min week) and (cohort, offset)
+    pairs derive inside the user-keyed partition; the final histogram
+    pre-combines per block, so the driver sees O(weeks²) rows.  Weeks
+    truncate to Monday on both sides (pandas dayofweek arithmetic ≡ DuckDB
+    date_trunc('week')), and offsets divide aligned week starts exactly."""
+    from ..stages.shuffle import grouped_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_pandas()
+        week = ts.dt.normalize() - pd.to_timedelta(ts.dt.dayofweek, unit="D")
+        df = pd.DataFrame({"user_id": batch.column("user_id").to_numpy(),
+                           "week": week}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    uw = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()  # merge cross-batch duplicates per user
+        cohort = df.groupby("user_id")["week"].transform("min")
+        off = ((df["week"] - cohort).dt.days // 7).astype("int64")
+        out = pd.DataFrame({"cohort_week": cohort, "week_offset": off})
+        return out.groupby(["cohort_week", "week_offset"], as_index=False) \
+                  .size().rename(columns={"size": "n_users"})
+
+    hist = grouped_apply(uw, ["user_id"], per_user) \
+        .groupby(["cohort_week", "week_offset"]) \
+        .aggregate(Sum("n_users", alias_name="n_users")).to_pandas()
+    hist["cohort_week"] = hist["cohort_week"].astype("datetime64[us]")
+    hist["week_offset"] = hist["week_offset"].astype("int64")
+    hist["n_users"] = hist["n_users"].astype("int64")
+    return pa.Table.from_pandas(
+        hist.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True),
+        preserve_index=False)

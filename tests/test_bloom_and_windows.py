@@ -265,3 +265,52 @@ class TestPmiHistLatestRevenue:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r_name, n_name""").fetchdf()
         pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCohortPercentRank:
+    def test_events_cohort_retention(self, con):
+        from post_ocr_corrector_ray.pipelines.relational import (
+            events_cohort_retention,
+        )
+
+        got = events_cohort_retention(SF).to_pandas()
+        want = con.execute("""
+            WITH uw AS (SELECT DISTINCT user_id,
+                               CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+                        FROM events),
+            c AS (SELECT user_id, min(week) AS cohort_week
+                  FROM uw GROUP BY user_id)
+            SELECT c.cohort_week,
+                   CAST(date_diff('week', c.cohort_week, uw.week)
+                        AS BIGINT) AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM uw JOIN c USING (user_id) GROUP BY 1, 2""").fetchdf()
+        got["cohort_week"] = got["cohort_week"].astype("datetime64[us]")
+        want["cohort_week"] = want["cohort_week"].astype("datetime64[us]")
+        pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+        # offset-0 count per cohort equals the cohort size (everyone is
+        # active in their own first week)
+        z = got[got.week_offset == 0]
+        assert (z.groupby("cohort_week")["n_users"].sum()
+                == got.groupby("cohort_week")["n_users"].max()).all()
+
+    def test_doc_length_percent_rank(self):
+        import duckdb
+
+        from post_ocr_corrector_ray.pipelines.documents import (
+            doc_length_percent_rank,
+        )
+
+        got = doc_length_percent_rank(SF).to_pandas()
+        c = duckdb.connect()
+        c.execute("PRAGMA threads=2")
+        c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                  f"read_parquet('{SF}/documents.parquet')")
+        want = c.execute("""
+            SELECT doc_id, n_chars,
+                   percent_rank() OVER (ORDER BY n_chars, doc_id) AS pr
+            FROM documents""").fetchdf()
+        g, w = _canon(got), _canon(want)
+        assert (g["pr"].to_numpy().tobytes() == w["pr"].to_numpy().tobytes())
+        assert g["pr"].min() == 0.0 and g["pr"].max() == 1.0
