@@ -352,6 +352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_retention": R.events_cohort_retention,
         # PERCENT_RANK window via histogram-offset rank, no global sort
         "doc_length_percent_rank": lambda sf: D.doc_length_percent_rank(sf),
+        # hot-key grouped top-k (per-block winner partials, no key funnel)
+        "events_topk_per_type": R.events_topk_per_type,
     }
 
 
@@ -1442,6 +1444,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars,
                    percent_rank() OVER (ORDER BY n_chars, doc_id) AS pr
             FROM documents""",
+        # hot-key grouped top-3 with the engine's deterministic tie-break
+        "events_topk_per_type": """
+            SELECT event_id, event_type, ts, value, rk
+            FROM (SELECT e.*, row_number() OVER (
+                      PARTITION BY event_type
+                      ORDER BY value DESC, event_id DESC) AS rk
+                  FROM events e)
+            WHERE rk <= 3""",
     }
     # the IVF oracle inlines centroids derived from the driver's sf0.01
     # correctness fixture; if that fixture is absent (other deployments),

@@ -911,3 +911,30 @@ def events_cohort_retention(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         hist.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True),
         preserve_index=False)
+
+
+def events_topk_per_type(sf_dir: str, k: int = 3) -> pa.Table:
+    """Top-k events by value per event_type — the HOT-KEY grouped top-k:
+    event_type has only a handful of distinct values, so a key-partitioned
+    grouped top-k (orders_topk_per_customer's shape) would funnel the whole
+    table into ~5 tasks.  Instead the salt is the block: each batch keeps its
+    LOCAL top-k per key (top-k is a combine-safe partial — the global winner
+    set is contained in the union of per-block winner sets), so the exchange
+    carries ≤ blocks × keys × k rows and the final per-key selection is a
+    tiny driver merge.  Deterministic tie-break: higher event_id wins."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["event_type", "value", "event_id"],
+                              ascending=[True, False, False]) \
+                 .groupby("event_type", sort=False).head(k)
+
+    parts = ds.map_batches(local_topk, batch_format="pandas").take_all()
+    merged = local_topk(pd.DataFrame(parts))
+    merged = merged.assign(
+        rk=merged.groupby("event_type").cumcount().to_numpy() + 1)
+    merged["rk"] = merged["rk"].astype("int64")
+    merged["ts"] = merged["ts"].astype("datetime64[us]")  # engine-wide [us] pin
+    return pa.Table.from_pandas(
+        merged.sort_values(["event_type", "rk"]).reset_index(drop=True),
+        preserve_index=False)

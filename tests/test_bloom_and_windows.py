@@ -314,3 +314,22 @@ class TestCohortPercentRank:
         g, w = _canon(got), _canon(want)
         assert (g["pr"].to_numpy().tobytes() == w["pr"].to_numpy().tobytes())
         assert g["pr"].min() == 0.0 and g["pr"].max() == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHotKeyTopK:
+    def test_events_topk_per_type(self, con):
+        from post_ocr_corrector_ray.pipelines.relational import events_topk_per_type
+
+        got = events_topk_per_type(SF).to_pandas()
+        want = con.execute("""
+            SELECT event_id, event_type, ts, value, rk
+            FROM (SELECT e.*, row_number() OVER (
+                      PARTITION BY event_type
+                      ORDER BY value DESC, event_id DESC) AS rk
+                  FROM events e)
+            WHERE rk <= 3""").fetchdf()
+        got["ts"] = got["ts"].astype("datetime64[us]")
+        want["ts"] = want["ts"].astype("datetime64[us]")
+        pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+        assert got["ts"].dtype == "datetime64[us]"
