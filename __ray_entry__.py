@@ -354,6 +354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_percent_rank": lambda sf: D.doc_length_percent_rank(sf),
         # hot-key grouped top-k (per-block winner partials, no key funnel)
         "events_topk_per_type": R.events_topk_per_type,
+        # iterative distributed dataflow: PageRank over the exact k-NN graph
+        "emb_pagerank": lambda sf: E.emb_pagerank(sf),
     }
 
 
@@ -1452,6 +1454,43 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY value DESC, event_id DESC) AS rk
                   FROM events e)
             WHERE rk <= 3""",
+        # 3 unrolled PageRank iterations over the same k-NN edge set; both
+        # sides round the order-dependent float sums to 6 at the output only
+        "emb_pagerank": """
+            WITH e AS (
+              SELECT vec_id AS src, nn_id AS dst FROM (
+                SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+                       CAST(row_number() OVER (
+                         PARTITION BY a.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                                    CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                                  b.vec_id) AS BIGINT) AS nn_rank
+                FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
+              WHERE nn_rank <= 5),
+            nodes AS (SELECT vec_id AS node FROM embeddings),
+            nn AS (SELECT CAST((SELECT count(*) FROM embeddings)
+                               AS DOUBLE) AS n),
+            r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn),
+            r1 AS (SELECT nodes.node,
+                          (1.0 - 0.85) / nn.n + 0.85 * COALESCE(s.s, 0.0) AS r
+                   FROM nodes CROSS JOIN nn
+                   LEFT JOIN (SELECT e.dst AS node, sum(r0.r / 5) AS s
+                              FROM e JOIN r0 ON e.src = r0.node
+                              GROUP BY e.dst) s ON nodes.node = s.node),
+            r2 AS (SELECT nodes.node,
+                          (1.0 - 0.85) / nn.n + 0.85 * COALESCE(s.s, 0.0) AS r
+                   FROM nodes CROSS JOIN nn
+                   LEFT JOIN (SELECT e.dst AS node, sum(r1.r / 5) AS s
+                              FROM e JOIN r1 ON e.src = r1.node
+                              GROUP BY e.dst) s ON nodes.node = s.node),
+            r3 AS (SELECT nodes.node,
+                          (1.0 - 0.85) / nn.n + 0.85 * COALESCE(s.s, 0.0) AS r
+                   FROM nodes CROSS JOIN nn
+                   LEFT JOIN (SELECT e.dst AS node, sum(r2.r / 5) AS s
+                              FROM e JOIN r2 ON e.src = r2.node
+                              GROUP BY e.dst) s ON nodes.node = s.node)
+            SELECT node, round(r, 6) AS pr FROM r3""",
     }
     # the IVF oracle inlines centroids derived from the driver's sf0.01
     # correctness fixture; if that fixture is absent (other deployments),

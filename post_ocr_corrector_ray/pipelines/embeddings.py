@@ -144,3 +144,88 @@ def emb_dedup_bucketed(sf_dir: str, threshold: float = 0.4) -> ray.data.Dataset:
     path's (missed pairs can only merge fewer clusters)."""
     return _emb_dedup_from_pairs(
         sf_dir, emb_cosine_dups_bucketed(sf_dir, threshold=threshold))
+
+
+def emb_pagerank(sf_dir: str, k: int = 5, d: float = 0.85,
+                 iters: int = 3) -> pa.Table:
+    """PageRank over the exact k-NN graph (graph-centrality data valuation —
+    which vectors anchor dense semantic neighborhoods), as ITERATIVE
+    DISTRIBUTED DATAFLOW: each of the ``iters`` rounds is one co-partitioned
+    hash join (edges ⋈ ranks on src — vertex state never lives on the
+    driver), per-batch partial contribution sums, ONE dst-keyed exchange,
+    and an anti-join fill for vertices with no in-links; the new rank table
+    is pinned (materialized) per round — the standard iteration barrier.
+    Every vertex has out-degree exactly k, so there are no dangling-mass
+    corrections.
+
+    r_{t+1}(v) = (1-d)/N + d · Σ_{u→v} r_t(u)/k, N from parquet metadata.
+    Output rounds to 6 decimals on both sides (the iterated float sums are
+    order-dependent at the ulp level; round-6 absorbs that while still
+    pinning ~10 significant digits of the ranking)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..stages.components import _pin
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import grouped_agg
+
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    base = (1.0 - d) / float(n)
+
+    edges = _pin(emb_knn_graph(sf_dir, k).map_batches(
+        lambda t: pa.table({"src": t.column("vec_id"),
+                            "dst": t.column("nn_id")}),
+        batch_format="pyarrow"), 16)
+    nodes = _pin(ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                       columns=["vec_id"]).map_batches(
+        lambda t: pa.table({"node": t.column("vec_id")}),
+        batch_format="pyarrow"), 16)
+    ranks = nodes.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "r": pa.array(np.full(t.num_rows, 1.0 / float(n)),
+                                          pa.float64())}),
+        batch_format="pyarrow")
+
+    for _ in range(iters):
+        per_edge = hash_join(edges, ranks, on="src", right_on="node",
+                             how="inner")
+
+        def contrib_partial(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "dst": batch.column("dst").to_numpy(zero_copy_only=False)
+                                          .astype(np.int64),
+                "rc": batch.column("r").to_numpy(zero_copy_only=False)
+                                       .astype(np.float64) / float(k)})
+            g = df.groupby("dst", as_index=False)["rc"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        agg = grouped_agg(per_edge.map_batches(contrib_partial,
+                                               batch_format="pyarrow"),
+                          ["dst"], {"rc": ("rc", "sum")})
+
+        def apply_rank(batch: pa.Table) -> pa.Table:
+            s = batch.column("rc").to_numpy(zero_copy_only=False) \
+                                  .astype(np.float64)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False) \
+                                     .astype(np.int64)
+            return pa.table({"node": pa.array(dst, pa.int64()),
+                             "r": pa.array(base + d * s, pa.float64())})
+
+        linked = agg.map_batches(apply_rank, batch_format="pyarrow")
+
+        def fill_base(batch: pa.Table) -> pa.Table:
+            node = batch.column("node").to_numpy(zero_copy_only=False) \
+                                       .astype(np.int64)
+            return pa.table({"node": pa.array(node, pa.int64()),
+                             "r": pa.array(np.full(len(node), base),
+                                           pa.float64())})
+
+        unlinked = hash_join(nodes, linked, on="node", how="anti") \
+            .map_batches(fill_base, batch_format="pyarrow")
+        ranks = _pin(linked.union(unlinked), 16)
+
+    out = ranks.to_pandas()
+    res = pd.DataFrame({"node": out["node"].astype("int64"),
+                        "pr": np.round(out["r"].to_numpy(np.float64), 6)})
+    return pa.Table.from_pandas(res.sort_values("node").reset_index(drop=True),
+                                preserve_index=False)
