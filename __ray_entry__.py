@@ -356,6 +356,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_per_type": R.events_topk_per_type,
         # iterative distributed dataflow: PageRank over the exact k-NN graph
         "emb_pagerank": lambda sf: E.emb_pagerank(sf),
+        # TPC-H Q6 shape: scan-side filter + shuffle-free global sum
+        "forecast_revenue": R.forecast_revenue,
     }
 
 
@@ -1491,6 +1493,16 @@ def oracle_sql() -> dict[str, str]:
                               FROM e JOIN r2 ON e.src = r2.node
                               GROUP BY e.dst) s ON nodes.node = s.node)
             SELECT node, round(r, 6) AS pr FROM r3""",
+        # Q6 on the same exact integer units (cents × discount basis points)
+        "forecast_revenue": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_discount * 100) AS BIGINT))
+                        AS BIGINT) / 10000.0 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND CAST(l_quantity AS BIGINT) < 24""",
     }
     # the IVF oracle inlines centroids derived from the driver's sf0.01
     # correctness fixture; if that fixture is absent (other deployments),

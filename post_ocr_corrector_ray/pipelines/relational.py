@@ -938,3 +938,29 @@ def events_topk_per_type(sf_dir: str, k: int = 3) -> pa.Table:
     return pa.Table.from_pandas(
         merged.sort_values(["event_type", "rk"]).reset_index(drop=True),
         preserve_index=False)
+
+
+def forecast_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q6 shape: revenue delta from a discount band in one year — a
+    pure scan-side filter + global sum (no shuffle at all; each batch emits
+    one partial, the driver adds a handful of int64s).  All predicates are
+    evaluated on exact integer units (cents, discount basis points), and the
+    revenue sum accumulates in e4 cent·pct units, so both sides divide the
+    same exact int64 once at the end."""
+    lo = np.datetime64("1996-01-01T00:00:00")
+    hi = np.datetime64("1997-01-01T00:00:00")
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = _cents(batch.column("l_discount"))  # basis points / 100
+        qty = batch.column("l_quantity").to_numpy().astype(np.int64)
+        sd = batch.column("l_shipdate").to_numpy()
+        price = _cents(batch.column("l_extendedprice"))
+        m = ((sd >= lo) & (sd < hi) & (disc >= 5) & (disc <= 7) & (qty < 24))
+        rev_e4 = np.sum(price[m] * disc[m])
+        return pa.table({"rev_e4": pa.array([int(rev_e4)], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    total = int(sum(p["rev_e4"] for p in parts))
+    return pa.table({"revenue": pa.array([total / 10000.0], pa.float64())})

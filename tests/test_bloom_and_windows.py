@@ -384,3 +384,28 @@ class TestPageRank:
         pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
         # probability mass is conserved (out-degree is k for every node)
         assert abs(got["pr"].sum() - 1.0) < 1e-3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestForecastRevenue:
+    def test_forecast_revenue(self):
+        import duckdb
+
+        from post_ocr_corrector_ray.pipelines.relational import forecast_revenue
+
+        got = forecast_revenue(SF).to_pandas()
+        c = duckdb.connect()
+        c.execute("PRAGMA threads=2")
+        c.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                  f"read_parquet('{SF}/lineitem.parquet')")
+        want = c.execute("""
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_discount * 100) AS BIGINT))
+                        AS BIGINT) / 10000.0 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND CAST(l_quantity AS BIGINT) < 24""").fetchdf()
+        assert got["revenue"].iloc[0] == want["revenue"].iloc[0]
+        assert got["revenue"].iloc[0] > 0
