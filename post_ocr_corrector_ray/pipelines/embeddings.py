@@ -172,10 +172,14 @@ def emb_pagerank(sf_dir: str, k: int = 5, d: float = 0.85,
     n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     base = (1.0 - d) / float(n)
 
+    # the per-round exchanges move O(N·k) tiny rows — a handful of
+    # partitions keeps Ray's fixed per-exchange sort cost from dominating at
+    # bench scale while the coarse-hash contract (8 partitions of distinct
+    # keys) is unchanged; at real scale raise num_partitions with N
     edges = _pin(emb_knn_graph(sf_dir, k).map_batches(
         lambda t: pa.table({"src": t.column("vec_id"),
                             "dst": t.column("nn_id")}),
-        batch_format="pyarrow"), 16)
+        batch_format="pyarrow"), 8)
     nodes = _pin(ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                        columns=["vec_id"]).map_batches(
         lambda t: pa.table({"node": t.column("vec_id")}),
@@ -188,7 +192,7 @@ def emb_pagerank(sf_dir: str, k: int = 5, d: float = 0.85,
 
     for _ in range(iters):
         per_edge = hash_join(edges, ranks, on="src", right_on="node",
-                             how="inner")
+                             how="inner", num_partitions=8)
 
         def contrib_partial(batch: pa.Table) -> pa.Table:
             df = pd.DataFrame({
@@ -199,9 +203,18 @@ def emb_pagerank(sf_dir: str, k: int = 5, d: float = 0.85,
             g = df.groupby("dst", as_index=False)["rc"].sum()
             return pa.Table.from_pandas(g, preserve_index=False)
 
+        # vertices with no in-links enter the aggregate as exact-zero
+        # contribution rows (0.0 + x is exact), so no anti-join fill
+        # exchange is needed — every round is ONE join + ONE aggregate
+        zeros = nodes.map_batches(
+            lambda t: pa.table({"dst": t.column("node"),
+                                "rc": pa.array(np.zeros(t.num_rows),
+                                               pa.float64())}),
+            batch_format="pyarrow")
         agg = grouped_agg(per_edge.map_batches(contrib_partial,
-                                               batch_format="pyarrow"),
-                          ["dst"], {"rc": ("rc", "sum")})
+                                               batch_format="pyarrow")
+                          .union(zeros),
+                          ["dst"], {"rc": ("rc", "sum")}, num_partitions=8)
 
         def apply_rank(batch: pa.Table) -> pa.Table:
             s = batch.column("rc").to_numpy(zero_copy_only=False) \
@@ -211,18 +224,7 @@ def emb_pagerank(sf_dir: str, k: int = 5, d: float = 0.85,
             return pa.table({"node": pa.array(dst, pa.int64()),
                              "r": pa.array(base + d * s, pa.float64())})
 
-        linked = agg.map_batches(apply_rank, batch_format="pyarrow")
-
-        def fill_base(batch: pa.Table) -> pa.Table:
-            node = batch.column("node").to_numpy(zero_copy_only=False) \
-                                       .astype(np.int64)
-            return pa.table({"node": pa.array(node, pa.int64()),
-                             "r": pa.array(np.full(len(node), base),
-                                           pa.float64())})
-
-        unlinked = hash_join(nodes, linked, on="node", how="anti") \
-            .map_batches(fill_base, batch_format="pyarrow")
-        ranks = _pin(linked.union(unlinked), 16)
+        ranks = _pin(agg.map_batches(apply_rank, batch_format="pyarrow"), 4)
 
     out = ranks.to_pandas()
     res = pd.DataFrame({"node": out["node"].astype("int64"),
