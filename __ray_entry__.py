@@ -358,6 +358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pagerank": lambda sf: E.emb_pagerank(sf),
         # TPC-H Q6 shape: scan-side filter + shuffle-free global sum
         "forecast_revenue": R.forecast_revenue,
+        # LEFT OUTER fact-fact join (zero-order customers kept)
+        "customer_order_stats": R.customer_order_stats,
     }
 
 
@@ -1503,6 +1505,17 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
               AND CAST(l_quantity AS BIGINT) < 24""",
+        # LEFT JOIN with COALESCE-to-zero on the same exact cents
+        "customer_order_stats": """
+            SELECT c.c_custkey, c.c_name,
+                   CAST(COALESCE(o.cnt, 0) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(o.cents, 0) AS BIGINT) / 100.0 AS total_spend
+            FROM customer c LEFT JOIN (
+              SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY o_custkey) o
+              ON c.c_custkey = o.o_custkey""",
     }
     # the IVF oracle inlines centroids derived from the driver's sf0.01
     # correctness fixture; if that fixture is absent (other deployments),

@@ -964,3 +964,39 @@ def forecast_revenue(sf_dir: str) -> pa.Table:
     parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
     total = int(sum(p["rev_e4"] for p in parts))
     return pa.table({"revenue": pa.array([total / 10000.0], pa.float64())})
+
+
+def customer_order_stats(sf_dir: str) -> pa.Table:
+    """Per-customer order count + total spend INCLUDING customers with no
+    orders — the LEFT OUTER fact-fact join: orders pre-aggregate to one
+    (custkey, n, cents) row per customer before the exchange, customer rows
+    co-partition against them, unmatched customers null-pad and coalesce to
+    zero.  Exact integer cents; the left join keeps right numerics float64
+    through the exchange (engine contract) and this wrapper restores the
+    int64 / dollar types."""
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import grouped_agg
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"o_custkey": batch.column("o_custkey").to_numpy(),
+                           "cents": _cents(batch.column("o_totalprice"))})
+        g = df.groupby("o_custkey", as_index=False).agg(
+            n=("cents", "size"), cents=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = grouped_agg(orders.map_batches(partial, batch_format="pyarrow"),
+                      ["o_custkey"], {"n": ("n", "sum"),
+                                      "cents": ("cents", "sum")})
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = hash_join(cust, agg, on="c_custkey", right_on="o_custkey",
+                       how="left").to_pandas()
+    res = pd.DataFrame({
+        "c_custkey": joined["c_custkey"].astype("int64"),
+        "c_name": joined["c_name"],
+        "n_orders": joined["n"].fillna(0.0).astype("int64"),
+        "total_spend": joined["cents"].fillna(0.0).astype("int64") / 100.0,
+    })
+    return pa.Table.from_pandas(res.sort_values("c_custkey").reset_index(drop=True),
+                                preserve_index=False)

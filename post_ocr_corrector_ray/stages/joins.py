@@ -235,9 +235,11 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     Same machinery as the temporal joins above: tag sides, harmonize schemas,
     union, ONE coarse hash-partitioning shuffle on the key, vectorized pandas
     merge per partition.  "semi"/"anti" return left rows (filtered), "inner"
-    returns left+right columns; non-key column names must not collide.
+    and "left" return left+right columns ("left" null-pads unmatched rows and
+    keeps right integer columns float64 — coalesce + cast downstream); non-key
+    column names must not collide.
     """
-    if how not in ("inner", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"hash_join: unsupported how={how!r}")
     # a fully-empty upstream (e.g. a grouped aggregate over zero rows) has no
     # schema at all — or an empty block schema without the key column;
@@ -247,7 +249,9 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     if ls_raw is None or on not in (ls_raw.names or []):
         return left
     if rs_raw is None or (right_on or on) not in (rs_raw.names or []):
-        return left if how == "anti" else left.limit(0)
+        # degenerate empty right side: anti/left keep every left row (for
+        # "left" the right columns are omitted — there is no schema to pad)
+        return left if how in ("anti", "left") else left.limit(0)
     renames = {right_on or on: on}
     right_keep = None
     if how in ("semi", "anti"):
@@ -273,12 +277,17 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     for n, t in zip(rs.names, rs.types):
         if n in right_cols and pa.types.is_integer(t):
             right_int[n] = t.to_pandas_dtype()
+    if how == "left":
+        # unmatched left rows null-pad the right columns, so right ints must
+        # STAY float64 (the union already promoted them) or block dtypes
+        # would flip int/float per partition; callers coalesce + re-cast
+        right_int = {}
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df[_SIDE] == 0][left_cols].astype(left_int)
         r = df[df[_SIDE] == 1][[on] + right_cols].astype(right_int)
-        if how == "inner":
-            return l.merge(r, on=on, how="inner")
+        if how in ("inner", "left"):
+            return l.merge(r, on=on, how=how)
         keep = l[on].isin(r[on].unique())
         return l[keep if how == "semi" else ~keep]
 

@@ -409,3 +409,45 @@ class TestForecastRevenue:
               AND CAST(l_quantity AS BIGINT) < 24""").fetchdf()
         assert got["revenue"].iloc[0] == want["revenue"].iloc[0]
         assert got["revenue"].iloc[0] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLeftJoin:
+    def test_left_join_semantics(self):
+        import ray.data
+
+        from post_ocr_corrector_ray.stages.joins import hash_join
+
+        l = pd.DataFrame({"k": [1, 2, 3, 4], "lv": ["a", "b", "c", "d"]})
+        r = pd.DataFrame({"k": [2, 4, 5], "rv": [20, 40, 50]})
+        got = hash_join(ray.data.from_pandas(l), ray.data.from_pandas(r),
+                        on="k", how="left").to_pandas()
+        want = l.merge(r, on="k", how="left")
+        g = _canon(got)
+        w = _canon(want)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
+        # unmatched rows null-pad; right ints stay float64 (engine contract)
+        assert got["rv"].isna().sum() == 2
+        assert got["rv"].dtype == "float64"
+
+    def test_customer_order_stats(self, con):
+        from post_ocr_corrector_ray.pipelines.relational import (
+            customer_order_stats,
+        )
+
+        got = customer_order_stats(SF).to_pandas()
+        want = con.execute("""
+            SELECT c.c_custkey, c.c_name,
+                   CAST(COALESCE(o.cnt, 0) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(o.cents, 0) AS BIGINT) / 100.0 AS total_spend
+            FROM customer c LEFT JOIN (
+              SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY o_custkey) o
+              ON c.c_custkey = o.o_custkey""").fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+        # every customer appears exactly once (outer semantics), even though
+        # at sf0.001 all of them happen to have orders
+        n_cust = con.execute("SELECT count(*) FROM customer").fetchone()[0]
+        assert len(got) == n_cust and got["c_custkey"].is_unique
