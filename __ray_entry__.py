@@ -360,6 +360,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue": R.forecast_revenue,
         # LEFT OUTER fact-fact join (zero-order customers kept)
         "customer_order_stats": R.customer_order_stats,
+        # robust spread: grouped MAD via two mergeable-quantile passes
+        "events_value_mad": R.events_value_mad,
+        # exact windowed COUNT DISTINCT via window replication (rolling DAU)
+        "events_rolling_active_users": R.events_rolling_active_users,
     }
 
 
@@ -1516,6 +1520,30 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT) AS cents
               FROM orders GROUP BY o_custkey) o
               ON c.c_custkey = o.o_custkey""",
+        # same quantile_disc semantics on the same exact integer cents
+        "events_value_mad": """
+            WITH x AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS v
+                       FROM events),
+            m AS (SELECT event_type, quantile_disc(v, 0.5) AS med
+                  FROM x GROUP BY event_type)
+            SELECT x.event_type,
+                   CAST(m.med AS BIGINT) / 100.0 AS median_value,
+                   CAST(quantile_disc(abs(x.v - m.med), 0.5) AS BIGINT)
+                   / 100.0 AS mad_value
+            FROM x JOIN m USING (event_type)
+            GROUP BY x.event_type, m.med""",
+        # trailing-24h distinct users per observed hour bucket
+        "events_rolling_active_users": """
+            WITH uh AS (SELECT DISTINCT user_id,
+                               date_trunc('hour', ts) AS h FROM events),
+            hours AS (SELECT DISTINCT h FROM uh)
+            SELECT hours.h AS hour,
+                   CAST(count(DISTINCT uh.user_id) AS BIGINT) AS active_users
+            FROM hours JOIN uh
+              ON uh.h <= hours.h
+             AND uh.h > hours.h - INTERVAL 24 HOURS
+            GROUP BY hours.h""",
     }
     # the IVF oracle inlines centroids derived from the driver's sf0.01
     # correctness fixture; if that fixture is absent (other deployments),

@@ -112,7 +112,8 @@ def run_benchmarks() -> dict:
         "events_value_histogram", "revenue_by_nation",
         "events_cohort_retention", "doc_length_percent_rank",
         "events_topk_per_type", "emb_pagerank", "forecast_revenue",
-        "customer_order_stats",
+        "customer_order_stats", "events_value_mad",
+        "events_rolling_active_users",
     ]
     # Each query is timed as the best of two consecutive runs: the first
     # execution in a session pays Ray worker-pool spin-up and parquet

@@ -1000,3 +1000,108 @@ def customer_order_stats(sf_dir: str) -> pa.Table:
     })
     return pa.Table.from_pandas(res.sort_values("c_custkey").reset_index(drop=True),
                                 preserve_index=False)
+
+
+def events_value_mad(sf_dir: str) -> pa.Table:
+    """Median absolute deviation of value per event_type — the robust-spread
+    statistic as a TWO-PASS composition of the mergeable grouped quantile
+    histogram: pass 1 reduces each type to its exact discrete median (the
+    shuffle moves (type, value)→count partials, never rows), the tiny median
+    table broadcasts back, pass 2 runs the same histogram over the absolute
+    deviations.  Both passes and the SQL twin share quantile_disc rank
+    semantics (rank = ceil(q·n)) on exact integer cents."""
+    import ray as _ray
+
+    from ..stages.quantiles import grouped_exact_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch.column("event_type"),
+                         "v": pa.array(_cents(batch.column("value")),
+                                       pa.int64())})
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    med = grouped_exact_quantiles(cents, "v", "event_type", [0.5]).to_pandas()
+    med_of = dict(zip(med["event_type"], med["value"].astype("int64")))
+    med_ref = _ray.put(med_of)
+
+    def abs_dev(batch: pa.Table) -> pa.Table:
+        med_of = _ray.get(med_ref)
+        types = batch.column("event_type").to_pandas()
+        v = _cents(batch.column("value"))
+        m = types.map(med_of).to_numpy(np.int64)
+        return pa.table({"event_type": batch.column("event_type"),
+                         "v": pa.array(np.abs(v - m), pa.int64())})
+
+    mad = grouped_exact_quantiles(ds.map_batches(abs_dev, batch_format="pyarrow"),
+                                  "v", "event_type", [0.5]).to_pandas()
+    res = pd.DataFrame({
+        "event_type": mad["event_type"],
+        "median_value": mad["event_type"].map(med_of).astype("int64") / 100.0,
+        "mad_value": mad["value"].astype("int64") / 100.0,
+    })
+    return pa.Table.from_pandas(res.sort_values("event_type").reset_index(drop=True),
+                                preserve_index=False)
+
+
+def events_rolling_active_users(sf_dir: str, window_hours: int = 24) -> pa.Table:
+    """Distinct users active in the trailing ``window_hours`` per hour bucket
+    (the rolling-DAU shape).  COUNT DISTINCT over a sliding window is not
+    combine-safe, so the engine uses WINDOW REPLICATION: the per-batch
+    DISTINCT (user, hour) pairs each fan out to the ≤ W trailing buckets they
+    contribute to (membership-filtered against the broadcast set of observed
+    hours, so no phantom buckets), one hour-keyed exchange moves the
+    replicated pairs, and each partition counts exact distinct users per
+    bucket.  Exchange volume is W × distinct pairs — the documented cost of
+    exact windowed distinct; sketches (HLL per bucket) are the cheaper
+    approximate twin."""
+    import ray as _ray
+
+    from ..stages.shuffle import grouped_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_pandas()
+        df = pd.DataFrame({"user_id": batch.column("user_id").to_numpy(),
+                           "hour": ts.dt.floor("h")}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    uh = ds.map_batches(pairs, batch_format="pyarrow")
+    observed = set()
+    for b in uh.map_batches(lambda t: pa.table({"hour": t.column("hour")}),
+                            batch_format="pyarrow") \
+               .iter_batches(batch_size=65536, batch_format="pandas"):
+        observed.update(b["hour"].astype("datetime64[us]").to_numpy()
+                        .astype("int64").tolist())
+    hours_ref = _ray.put(np.array(sorted(observed), dtype=np.int64))
+
+    us_per_hour = 3_600_000_000
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        hours = _ray.get(hours_ref)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False) \
+                                   .astype(np.int64)
+        h = batch.column("hour").to_pandas().astype("datetime64[us]") \
+                 .to_numpy().astype("int64")
+        offs = np.arange(window_hours, dtype=np.int64) * us_per_hour
+        tgt = (h[:, None] + offs[None, :]).ravel()
+        uu = np.repeat(u, window_hours)
+        keep = np.isin(tgt, hours)
+        return pa.table({"hour": pa.array(tgt[keep].astype("datetime64[us]"),
+                                          pa.timestamp("us")),
+                         "user_id": pa.array(uu[keep], pa.int64())})
+
+    rep = uh.map_batches(replicate, batch_format="pyarrow")
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates().groupby("hour", as_index=False)["user_id"] \
+              .nunique().rename(columns={"user_id": "active_users"})
+        return g
+
+    out = grouped_apply(rep, ["hour"], count_distinct).to_pandas()
+    out["hour"] = out["hour"].astype("datetime64[us]")
+    out["active_users"] = out["active_users"].astype("int64")
+    return pa.Table.from_pandas(out.sort_values("hour").reset_index(drop=True),
+                                preserve_index=False)

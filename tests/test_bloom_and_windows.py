@@ -451,3 +451,51 @@ class TestLeftJoin:
         # at sf0.001 all of them happen to have orders
         n_cust = con.execute("SELECT count(*) FROM customer").fetchone()[0]
         assert len(got) == n_cust and got["c_custkey"].is_unique
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMadRollingDau:
+    def test_events_value_mad(self, con):
+        from post_ocr_corrector_ray.pipelines.relational import events_value_mad
+
+        got = events_value_mad(SF).to_pandas()
+        want = con.execute("""
+            WITH x AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS v
+                       FROM events),
+            m AS (SELECT event_type, quantile_disc(v, 0.5) AS med
+                  FROM x GROUP BY event_type)
+            SELECT x.event_type,
+                   CAST(m.med AS BIGINT) / 100.0 AS median_value,
+                   CAST(quantile_disc(abs(x.v - m.med), 0.5) AS BIGINT)
+                   / 100.0 AS mad_value
+            FROM x JOIN m USING (event_type)
+            GROUP BY x.event_type, m.med""").fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+        assert (got["mad_value"] >= 0).all()
+
+    def test_events_rolling_active_users(self, con):
+        from post_ocr_corrector_ray.pipelines.relational import (
+            events_rolling_active_users,
+        )
+
+        got = events_rolling_active_users(SF).to_pandas()
+        want = con.execute("""
+            WITH uh AS (SELECT DISTINCT user_id,
+                               date_trunc('hour', ts) AS h FROM events),
+            hours AS (SELECT DISTINCT h FROM uh)
+            SELECT hours.h AS hour,
+                   CAST(count(DISTINCT uh.user_id) AS BIGINT) AS active_users
+            FROM hours JOIN uh
+              ON uh.h <= hours.h AND uh.h > hours.h - INTERVAL 24 HOURS
+            GROUP BY hours.h""").fetchdf()
+        got["hour"] = got["hour"].astype("datetime64[us]")
+        want["hour"] = want["hour"].astype("datetime64[us]")
+        pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+        # trailing window is a superset of the single hour's users
+        single = con.execute("""
+            SELECT date_trunc('hour', ts) AS hour,
+                   count(DISTINCT user_id) AS n FROM events GROUP BY 1""").fetchdf()
+        single["hour"] = single["hour"].astype("datetime64[us]")
+        j = got.merge(single, on="hour")
+        assert (j["active_users"] >= j["n"]).all()
