@@ -364,6 +364,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": R.events_value_mad,
         # exact windowed COUNT DISTINCT via window replication (rolling DAU)
         "events_rolling_active_users": R.events_rolling_active_users,
+        # hot-key exact COUNT DISTINCT via salted exchange
+        "events_distinct_users_per_type": R.events_distinct_users_per_type,
+        # Misra–Gries heavy hitters (shuffle-free approximate top-token twin;
+        # MG guarantee pytest-pinned vs exact counts — no SQL oracle)
+        "doc_heavy_hitters": lambda sf: D.doc_heavy_hitters(sf),
     }
 
 
@@ -1544,6 +1549,13 @@ def oracle_sql() -> dict[str, str]:
               ON uh.h <= hours.h
              AND uh.h > hours.h - INTERVAL 24 HOURS
             GROUP BY hours.h""",
+        # the salted exchange is exactness-preserving (a user always lands
+        # in the same salt bucket), so the oracle is the plain grouped
+        # COUNT DISTINCT
+        "events_distinct_users_per_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type""",
     }
     # the IVF oracle inlines centroids derived from the driver's sf0.01
     # correctness fixture; if that fixture is absent (other deployments),

@@ -1040,3 +1040,21 @@ def doc_length_percent_rank(sf_dir: str) -> ray.data.Dataset:
                          "pr": pa.array(pr, pa.float64())})
 
     return ranked.map_batches(add_pr, batch_format="pyarrow")
+
+
+def doc_heavy_hitters(sf_dir: str, k: int = 256) -> pa.Table:
+    """Misra–Gries heavy-hitter tokens (shuffle-free approximate twin of
+    doc_top_tokens, as hll is to exact distinct): ≤ k-entry counter summary
+    per block, tiny driver merge.  Guarantee pinned in pytest: every token
+    with true frequency > N/k is present with estimate within N/k."""
+    import pandas as pd  # noqa: F401  (sketch returns a DataFrame)
+
+    from ..stages.sketches import mg_heavy_hitters
+    from ..stages.textstats import _split_words
+
+    def tokens_of(batch: pa.Table):
+        flat, _ = _split_words(batch.column("text").combine_chunks())
+        return flat.to_numpy(zero_copy_only=False)
+
+    out = mg_heavy_hitters(_docs(sf_dir, ["text"]), tokens_of, k=k)
+    return pa.Table.from_pandas(out, preserve_index=False)

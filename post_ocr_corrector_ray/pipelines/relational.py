@@ -1105,3 +1105,42 @@ def events_rolling_active_users(sf_dir: str, window_hours: int = 24) -> pa.Table
     out["active_users"] = out["active_users"].astype("int64")
     return pa.Table.from_pandas(out.sort_values("hour").reset_index(drop=True),
                                 preserve_index=False)
+
+
+def events_distinct_users_per_type(sf_dir: str, salt_buckets: int = 64) -> pa.Table:
+    """Exact COUNT(DISTINCT user) per event_type — the HOT-KEY distinct:
+    event_type has a handful of values, so a key-only exchange would funnel
+    every pair into ~5 tasks.  The exchange key is SALTED with
+    hash(user) % salt_buckets instead: distinctness is preserved inside each
+    (type, salt) partition because a given user always lands in the same
+    bucket, partitions hold disjoint user sets per type, and the per-
+    partition exact distinct counts sum to the true total through a tiny
+    (types × salt_buckets)-row final aggregate.  Per-batch distinct pairs
+    pre-combine before the exchange."""
+    from ..stages.bloom import _splitmix64
+    from ..stages.shuffle import grouped_apply
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": batch.column("event_type").to_pandas(),
+                           "user_id": batch.column("user_id").to_numpy()
+                          }).drop_duplicates()
+        salt = (_splitmix64(df["user_id"].to_numpy(np.int64).astype(np.uint64))
+                % np.uint64(salt_buckets)).astype(np.int64)
+        df["salt"] = salt
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def partition_count(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["event_type", "user_id"])
+        g = d.groupby(["event_type", "salt"], as_index=False)["user_id"] \
+             .nunique().rename(columns={"user_id": "n"})
+        return g
+
+    parts = grouped_apply(ds.map_batches(pairs, batch_format="pyarrow"),
+                          ["event_type", "salt"], partition_count).to_pandas()
+    out = parts.groupby("event_type", as_index=False)["n"].sum() \
+               .rename(columns={"n": "n_users"})
+    out["n_users"] = out["n_users"].astype("int64")
+    return pa.Table.from_pandas(out.sort_values("event_type").reset_index(drop=True),
+                                preserve_index=False)

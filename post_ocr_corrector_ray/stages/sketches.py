@@ -75,3 +75,57 @@ def hll_distinct(ds: ray.data.Dataset, col: str, *, p: int = 12,
         merged = np.maximum(merged, np.frombuffer(row["regs"], dtype=np.uint8))
     return pa.table({"estimate": pa.array([_hll_estimate(merged)], pa.float64()),
                      "p": pa.array([p], pa.int64())})
+
+
+def _mg_merge(counters: dict, tokens, counts, k: int) -> None:
+    """Misra–Gries merge of (token, count) partials into ``counters``
+    in place, keeping at most k entries: add, then decrement all by the
+    smallest surplus when over capacity (the standard summary merge — the
+    result keeps the MG guarantee: true_freq - N/k ≤ estimate ≤ true_freq)."""
+    for t, c in zip(tokens, counts):
+        counters[t] = counters.get(t, 0) + int(c)
+    if len(counters) > k:
+        # decrement by the (k+1)-th largest count so ≤ k survive
+        vals = sorted(counters.values(), reverse=True)
+        dec = vals[k]
+        for t in list(counters):
+            c = counters[t] - dec
+            if c > 0:
+                counters[t] = c
+            else:
+                del counters[t]
+
+
+def mg_heavy_hitters(ds: "ray.data.Dataset", col_fn, *, k: int = 256
+                     ) -> "pd.DataFrame":
+    """Misra–Gries heavy-hitters sketch over the token stream: each block
+    reduces to a ≤ k-entry counter summary (vectorized value_counts), the
+    driver merges the tiny summaries.  Deterministic for a given block
+    layout; the GUARANTEE (any token with true frequency > N/k appears in
+    the output, estimates within N/k of truth) holds for every layout —
+    the property the pytest pins against the exact counts.  The exact
+    shuffled twin is doc_top_tokens; this is its shuffle-FREE approximate
+    sibling (the same role hll_distinct plays for COUNT DISTINCT)."""
+    import pandas as pd
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        tokens = col_fn(batch)
+        cnt = pd.Series(tokens).value_counts()
+        counters: dict = {}
+        _mg_merge(counters, cnt.index.tolist(), cnt.to_numpy(), k)
+        items = sorted(counters.items())
+        return pa.table({"token": pa.array([t for t, _ in items], pa.string()),
+                         "c": pa.array([c for _, c in items], pa.int64()),
+                         "n_stream": pa.array([int(cnt.sum())] + [0] * (len(items) - 1)
+                                              if items else [], pa.int64())})
+
+    counters: dict = {}
+    n_total = 0
+    for b in ds.map_batches(block_summary, batch_format="pyarrow") \
+               .iter_batches(batch_size=65536, batch_format="pandas"):
+        n_total += int(b["n_stream"].sum())
+        _mg_merge(counters, b["token"].tolist(), b["c"].to_numpy(), k)
+    out = pd.DataFrame(sorted(counters.items()), columns=["token", "est"])
+    out["est"] = out["est"].astype("int64")
+    out.attrs["n_total"] = n_total
+    return out

@@ -499,3 +499,38 @@ class TestMadRollingDau:
         single["hour"] = single["hour"].astype("datetime64[us]")
         j = got.merge(single, on="hour")
         assert (j["active_users"] >= j["n"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSaltedDistinctAndMG:
+    def test_events_distinct_users_per_type(self, con):
+        from post_ocr_corrector_ray.pipelines.relational import (
+            events_distinct_users_per_type,
+        )
+
+        got = events_distinct_users_per_type(SF).to_pandas()
+        want = con.execute("""
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type""").fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+
+    def test_mg_guarantee_vs_exact(self):
+        import pyarrow.parquet as pq
+
+        from post_ocr_corrector_ray.pipelines.documents import doc_heavy_hitters
+
+        k = 64
+        got = doc_heavy_hitters(SF, k=k).to_pandas().set_index("token")["est"]
+        texts = pq.read_table(f"{SF}/documents.parquet",
+                              columns=["text"])["text"].to_pylist()
+        exact = pd.Series(" ".join(t for t in texts if t).split()).value_counts()
+        n = int(exact.sum())
+        bound = n / k
+        # every true heavy hitter survives, with estimate within N/k
+        heavy = exact[exact > bound]
+        assert set(heavy.index) <= set(got.index)
+        for t, true_c in heavy.items():
+            assert true_c - bound <= got[t] <= true_c
+        # no estimate exceeds its true count
+        assert all(got[t] <= exact.get(t, 0) for t in got.index)
