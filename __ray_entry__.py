@@ -369,6 +369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Misra–Gries heavy hitters (shuffle-free approximate top-token twin;
         # MG guarantee pytest-pinned vs exact counts — no SQL oracle)
         "doc_heavy_hitters": lambda sf: D.doc_heavy_hitters(sf),
+        # per-doc token Shannon entropy (diversity quality signal, no shuffle)
+        "doc_token_entropy": lambda sf: D.doc_token_entropy(sf),
     }
 
 
@@ -1556,6 +1558,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type""",
+        # same -Σ p·ln p per doc; zero-token docs never enter the unnest
+        "doc_token_entropy": r"""
+            WITH t AS (SELECT doc_id,
+                              unnest(list_filter(
+                                regexp_split_to_array(text, '\s+'),
+                                x -> x <> '')) AS w
+                       FROM documents),
+            c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+                  FROM t GROUP BY doc_id, w),
+            n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+                  FROM c GROUP BY doc_id)
+            SELECT c.doc_id,
+                   round(-sum((CAST(c.c AS DOUBLE) / n.n)
+                              * ln(CAST(c.c AS DOUBLE) / n.n)), 6) AS entropy
+            FROM c JOIN n USING (doc_id)
+            GROUP BY c.doc_id""",
     }
     # the IVF oracle inlines centroids derived from the driver's sf0.01
     # correctness fixture; if that fixture is absent (other deployments),

@@ -114,6 +114,7 @@ def run_benchmarks() -> dict:
         "events_topk_per_type", "emb_pagerank", "forecast_revenue",
         "customer_order_stats", "events_value_mad",
         "events_distinct_users_per_type", "doc_heavy_hitters",
+        "doc_token_entropy",
         "events_rolling_active_users",
     ]
     # Each query is timed as the best of two consecutive runs: the first

@@ -1058,3 +1058,42 @@ def doc_heavy_hitters(sf_dir: str, k: int = 256) -> pa.Table:
 
     out = mg_heavy_hitters(_docs(sf_dir, ["text"]), tokens_of, k=k)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def doc_token_entropy(sf_dir: str) -> ray.data.Dataset:
+    """Shannon entropy of each document's token distribution (the repetition
+    /diversity quality signal next to doc_repetition_stats) — entirely
+    batch-local, NO shuffle: one Arrow whitespace split, one vectorized
+    (row, token) groupby, and a per-row -Σ p·ln p via np.add.reduceat.
+    Zero-token documents are omitted (mirrors the SQL twin, where they never
+    enter the unnest).  round-6 output absorbs summation-order ulps."""
+    import pandas as pd
+
+    from ..stages.textstats import _split_words
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def entropy(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").combine_chunks()
+        flat, counts = _split_words(texts)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        rows = np.repeat(ids, counts)
+        if len(rows) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "entropy": pa.array([], pa.float64())})
+        d = pd.DataFrame({"doc_id": rows,
+                          "token": flat.to_numpy(zero_copy_only=False)})
+        g = d.groupby(["doc_id", "token"], sort=True, as_index=False).size()
+        doc = g["doc_id"].to_numpy()
+        c = g["size"].to_numpy(np.float64)
+        # row totals per doc (g is sorted by doc_id)
+        starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+        totals = np.add.reduceat(c, starts)
+        n = np.repeat(totals, np.diff(np.r_[starts, len(c)]))
+        p = c / n
+        terms = p * np.log(p)
+        h = -np.add.reduceat(terms, starts)
+        return pa.table({"doc_id": pa.array(doc[starts], pa.int64()),
+                         "entropy": pa.array(np.round(h, 6), pa.float64())})
+
+    return ds.map_batches(entropy, batch_format="pyarrow")

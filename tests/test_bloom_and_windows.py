@@ -534,3 +534,32 @@ class TestSaltedDistinctAndMG:
             assert true_c - bound <= got[t] <= true_c
         # no estimate exceeds its true count
         assert all(got[t] <= exact.get(t, 0) for t in got.index)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTokenEntropy:
+    def test_doc_token_entropy(self):
+        import duckdb
+
+        from post_ocr_corrector_ray.pipelines.documents import doc_token_entropy
+
+        got = doc_token_entropy(SF).to_pandas()
+        c = duckdb.connect()
+        c.execute("PRAGMA threads=2")
+        c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                  f"read_parquet('{SF}/documents.parquet')")
+        want = c.execute(r"""
+            WITH t AS (SELECT doc_id,
+                              unnest(list_filter(
+                                regexp_split_to_array(text, '\s+'),
+                                x -> x <> '')) AS w FROM documents),
+            c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+                  FROM t GROUP BY doc_id, w),
+            n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+                  FROM c GROUP BY doc_id)
+            SELECT c.doc_id,
+                   round(-sum((CAST(c.c AS DOUBLE) / n.n)
+                              * ln(CAST(c.c AS DOUBLE) / n.n)), 6) AS entropy
+            FROM c JOIN n USING (doc_id) GROUP BY c.doc_id""").fetchdf()
+        pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+        assert (got["entropy"] >= 0).all()
