@@ -193,6 +193,22 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Registry ordered oracle-backed-first.
+
+    The driver's correctness gate verifies only a prefix of this dict (the
+    first ~50 entries in iteration order), so every hash-verifiable
+    (oracle-backed) query is placed before the no-oracle entries — a
+    no-oracle row only gets a weak rows-only check anyway, while an
+    oracle-backed row past the window gets NO driver verification at all.
+    """
+    reg = _registry()
+    with_oracle = set(oracle_sql())
+    ordered = {k: v for k, v in reg.items() if k in with_oracle}
+    ordered.update({k: v for k, v in reg.items() if k not in with_oracle})
+    return ordered
+
+
+def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship + reference-semantics pipelines (rows-only where non-SQL)
         "flagship_extract_correct": lambda sf: _flagship(n_pages=120),
