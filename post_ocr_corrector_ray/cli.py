@@ -118,7 +118,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--against", default=None, metavar="STORE_DIR",
                    help="incremental ingest: dedup the new documents against "
                         "this existing committed survivor store (ids must be "
-                        "globally unique across store and new docs); the new "
+                        "globally unique AND append-only ordered — every "
+                        "store id smaller than every new id — for "
+                        "one-shot-equivalent representatives); the new "
                         "wave's survivors commit to OUT_DIR, the combined "
                         "corpus is STORE_DIR + OUT_DIR")
 

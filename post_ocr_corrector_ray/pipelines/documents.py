@@ -369,6 +369,9 @@ def doc_top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
                               ascending=[False, True]).head(k)
 
     parts = counts.map_batches(local_topk, batch_format="pandas").take_all()
+    if not parts:  # every block empty: sort_values would KeyError on []
+        return pa.table({"token": pa.array([], pa.string()),
+                         "frequency": pa.array([], pa.int64())})
     top = pd.DataFrame(parts).sort_values(
         ["frequency", "token"], ascending=[False, True]).head(k)
     return pa.table({"token": pa.array(top["token"], pa.string()),

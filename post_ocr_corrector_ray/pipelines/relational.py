@@ -110,6 +110,10 @@ def top_customers(sf_dir: str, k: int = 10) -> pa.Table:
                               ascending=[False, True]).head(k)
 
     parts = agg.map_batches(local_topk, batch_format="pandas").take_all()
+    if not parts:  # every block empty: sort_values would KeyError on []
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "c_name": pa.array([], pa.string()),
+                         "revenue": pa.array([], pa.float64())})
     top = pd.DataFrame(parts).sort_values(
         ["cents", "o_custkey"], ascending=[False, True]).head(k)
     names = pq.read_table(
@@ -441,6 +445,10 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
                               ascending=[False, True, True]).head(k)
 
     parts = joined.map_batches(local_topk, batch_format="pandas").take_all()
+    if not parts:  # every block empty: sort_values would KeyError on []
+        return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                         "revenue": pa.array([], pa.float64()),
+                         "o_orderdate": pa.array([], pa.timestamp("us"))})
     top = pd.DataFrame(parts).sort_values(
         ["rev_e4", "o_orderdate", "l_orderkey"],
         ascending=[False, True, True]).head(k)
@@ -930,6 +938,12 @@ def events_topk_per_type(sf_dir: str, k: int = 3) -> pa.Table:
                  .groupby("event_type", sort=False).head(k)
 
     parts = ds.map_batches(local_topk, batch_format="pandas").take_all()
+    if not parts:  # every block empty: sort_values would KeyError on []
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "event_type": pa.array([], pa.string()),
+                         "ts": pa.array([], pa.timestamp("us")),
+                         "value": pa.array([], pa.float64()),
+                         "rk": pa.array([], pa.int64())})
     merged = local_topk(pd.DataFrame(parts))
     merged = merged.assign(
         rk=merged.groupby("event_type").cumcount().to_numpy() + 1)

@@ -308,13 +308,18 @@ def near_dedup_incremental(new_docs: ray.data.Dataset,
     an EXISTING deduped store.
 
     ``pairs`` must be the verified near-dup pairs over the UNION of store and
-    new documents (ids globally unique across both sets).  Semantics: a new
-    document is dropped iff its connected component contains any store
-    document (the store is authoritative and never modified), else the
-    component's min-id new document survives and the rest drop.  Transitive
-    chains through new documents into the store therefore drop the whole
-    chain — the same closure the one-shot ``near_dedup`` would have produced
-    had all documents arrived together.
+    new documents.  Ids must be globally unique across both sets AND
+    append-only ordered: every store id strictly smaller than every new id
+    (monotone ingest ids — the natural property of an append-only store).
+    Semantics: a new document is dropped iff its connected component contains
+    any store document (the store is authoritative and never modified), else
+    the component's min-id new document survives and the rest drop.
+    Transitive chains through new documents into the store therefore drop the
+    whole chain — under the append-only id ordering this is exactly the
+    closure the one-shot ``near_dedup`` would have produced had all documents
+    arrived together.  Without that ordering the CLOSURE still matches but
+    the chosen representative may differ: one-shot keeps the global min-id
+    (possibly a new doc), incremental always keeps the store doc.
 
     All set logic runs through the co-partitioned exchanges over the tiny
     clustered-node rows; nothing is collected on the driver.  Scale note:

@@ -242,16 +242,24 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"hash_join: unsupported how={how!r}")
     # a fully-empty upstream (e.g. a grouped aggregate over zero rows) has no
-    # schema at all — or an empty block schema without the key column;
-    # resolve such joins without an exchange
+    # schema at all — or an empty zero-column block schema; resolve such joins
+    # without an exchange.  A NON-empty schema that lacks the key column is a
+    # caller error (typo'd/renamed key) and must raise, never silently return
+    # the whole left side.
     left, right = _as_arrow(left), _as_arrow(right)
     ls_raw, rs_raw = left.schema(), right.schema()
-    if ls_raw is None or on not in (ls_raw.names or []):
+    if ls_raw is None or not ls_raw.names:
         return left
-    if rs_raw is None or (right_on or on) not in (rs_raw.names or []):
+    if on not in ls_raw.names:
+        raise ValueError(f"hash_join: key {on!r} not in left schema "
+                         f"{list(ls_raw.names)}")
+    if rs_raw is None or not rs_raw.names:
         # degenerate empty right side: anti/left keep every left row (for
         # "left" the right columns are omitted — there is no schema to pad)
         return left if how in ("anti", "left") else left.limit(0)
+    if (right_on or on) not in rs_raw.names:
+        raise ValueError(f"hash_join: key {right_on or on!r} not in right "
+                         f"schema {list(rs_raw.names)}")
     renames = {right_on or on: on}
     right_keep = None
     if how in ("semi", "anti"):

@@ -22,6 +22,7 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -151,8 +152,13 @@ def global_rank(ds: ray.data.Dataset, col: str, id_col: str, *,
         out[rank_col] = offs + pos + 1
         return out
 
+    # drop null keys HERE so both passes see the same row set: the histogram
+    # pass ignores nulls (dropna above), and a null key reaching rank_part
+    # would map to NaN offset and crash the int64 cast (ROW_NUMBER over a
+    # null key is undefined for this operator — SQL aggregate semantics)
     proj = ds.map_batches(
-        lambda t: t.select([id_col, col] + list(tie_cols or [])),
+        lambda t: t.select([id_col, col] + list(tie_cols or []))
+                   .filter(pc.is_valid(t.column(col))),
         batch_format="pyarrow")
     return grouped_apply(proj, [col], rank_part,
                          num_partitions=num_partitions)

@@ -114,16 +114,25 @@ def mg_heavy_hitters(ds: "ray.data.Dataset", col_fn, *, k: int = 256
         counters: dict = {}
         _mg_merge(counters, cnt.index.tolist(), cnt.to_numpy(), k)
         items = sorted(counters.items())
-        return pa.table({"token": pa.array([t for t, _ in items], pa.string()),
-                         "c": pa.array([c for _, c in items], pa.int64()),
-                         "n_stream": pa.array([int(cnt.sum())] + [0] * (len(items) - 1)
-                                              if items else [], pa.int64())})
+        toks = [t for t, _ in items]
+        cs = [c for _, c in items]
+        if not items:
+            # a summary can empty out entirely after the decrement (> k
+            # distinct tokens all with equal counts) — still emit the block's
+            # stream total on a null-token sentinel row so n_total (and the
+            # N/k guarantee bound) never undercounts
+            toks, cs = [None], [0]
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "c": pa.array(cs, pa.int64()),
+                         "n_stream": pa.array([int(cnt.sum())] + [0] * (len(toks) - 1),
+                                              pa.int64())})
 
     counters: dict = {}
     n_total = 0
     for b in ds.map_batches(block_summary, batch_format="pyarrow") \
                .iter_batches(batch_size=65536, batch_format="pandas"):
         n_total += int(b["n_stream"].sum())
+        b = b[b["token"].notna()]  # drop empty-summary sentinel rows
         _mg_merge(counters, b["token"].tolist(), b["c"].to_numpy(), k)
     out = pd.DataFrame(sorted(counters.items()), columns=["token", "est"])
     out["est"] = out["est"].astype("int64")

@@ -305,3 +305,57 @@ class TestShuffleOrder:
         b = doc_shuffle_order(sf_dir).to_pandas().sort_values("doc_id")
         assert a["shuffle_rank"].tolist() == b["shuffle_rank"].tolist()
 
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHashJoinKeyErrors:
+    def test_missing_left_key_raises(self):
+        import ray.data
+
+        from post_ocr_corrector_ray.stages.joins import hash_join
+
+        l = ray.data.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                          "lv": pa.array([10, 20], pa.int64())}))
+        r = ray.data.from_arrow(pa.table({"k": pa.array([2], pa.int64())}))
+        with pytest.raises(ValueError, match="not in left schema"):
+            hash_join(l, r, on="typo_key", how="inner")
+
+    def test_missing_right_key_raises(self):
+        import ray.data
+
+        from post_ocr_corrector_ray.stages.joins import hash_join
+
+        l = ray.data.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+        r = ray.data.from_arrow(pa.table({"rk": pa.array([2], pa.int64()),
+                                          "rv": pa.array([9], pa.int64())}))
+        with pytest.raises(ValueError, match="not in right schema"):
+            hash_join(l, r, on="k", right_on="typo_key", how="semi")
+
+    def test_schemaless_empty_left_still_short_circuits(self):
+        import ray.data
+
+        from post_ocr_corrector_ray.stages.joins import hash_join
+
+        # a grouped aggregate over zero rows yields a dataset with no schema;
+        # the early-out must keep resolving that without an exchange
+        l = ray.data.from_arrow(
+            pa.table({"k": pa.array([], pa.int64())})).filter(lambda r: False)
+        r = ray.data.from_arrow(pa.table({"k": pa.array([2], pa.int64())}))
+        assert hash_join(l, r, on="k", how="inner").count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGlobalRankNullKeys:
+    def test_null_keys_dropped_consistently(self):
+        import ray.data
+
+        from post_ocr_corrector_ray.stages.quantiles import global_rank
+
+        t = pa.table({"id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                      "v": pa.array([10, None, 5, None, 10], pa.int64())})
+        got = global_rank(ray.data.from_arrow(t), "v", "id",
+                          num_partitions=3).to_pandas()
+        got = got.sort_values("id").reset_index(drop=True)
+        # null-key rows are excluded from BOTH passes (no crash, no rank)
+        assert got["id"].tolist() == [1, 3, 5]
+        assert got["rank"].tolist() == [2, 1, 3]

@@ -158,3 +158,51 @@ class TestIdfInvertedIndexEdges:
         pd.testing.assert_series_equal(idf["df"].sort_index(),
                                        idx["df"].sort_index(),
                                        check_names=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmptyInputTopK:
+    """Driver-side top-k merges must survive an all-empty partial set
+    (pd.DataFrame([]) has no columns, so an unguarded sort_values raises)."""
+
+    def _write_empty(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_custkey": pa.array([], pa.int64()),
+            "o_totalprice": pa.array([], pa.float64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "o_orderpriority": pa.array([], pa.string()),
+        }), f"{tmp_path}/orders.parquet")
+        pq.write_table(pa.table({
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+        }), f"{tmp_path}/customer.parquet")
+        pq.write_table(pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "value": pa.array([], pa.float64()),
+        }), f"{tmp_path}/events.parquet")
+        _write_docs(tmp_path, [])
+        return str(tmp_path)
+
+    def test_empty_tables_yield_typed_empty_results(self, tmp_path):
+        from post_ocr_corrector_ray.pipelines.documents import doc_top_tokens
+        from post_ocr_corrector_ray.pipelines.relational import (
+            events_topk_per_type,
+            top_customers,
+        )
+
+        sf = self._write_empty(tmp_path)
+        t = top_customers(sf)
+        assert t.num_rows == 0
+        assert t.column_names == ["c_custkey", "c_name", "revenue"]
+        e = events_topk_per_type(sf)
+        assert e.num_rows == 0
+        assert set(e.column_names) >= {"event_type", "value", "rk"}
+        d = doc_top_tokens(sf)
+        assert d.num_rows == 0
+        assert d.column_names == ["token", "frequency"]

@@ -68,3 +68,24 @@ def test_hll_distinct_empty(ray_session):
     ds = ray.data.from_arrow(pa.table({"token": pa.array([], pa.string())}))
     est = hll_distinct(ds, "token", p=8).column("estimate")[0].as_py()
     assert est == 0.0
+
+
+def test_mg_empty_summary_still_counts_stream(ray_session):
+    """A block whose Misra-Gries summary empties out after the decrement
+    (> k distinct tokens, all equal counts) must still contribute its token
+    count to n_total — the N/k guarantee bound depends on N being exact."""
+    import ray.data
+
+    from post_ocr_corrector_ray.stages.sketches import mg_heavy_hitters
+
+    n = 3000
+    toks = pa.table({"text": pa.array([f"tok{i:05d}" for i in range(n)],
+                                      pa.string())})
+
+    def col_fn(batch):
+        return batch.column("text").to_pylist()
+
+    out = mg_heavy_hitters(ray.data.from_arrow(toks), col_fn, k=16)
+    assert out.attrs["n_total"] == n
+    # no sentinel rows leak into the result
+    assert out["token"].notna().all()
