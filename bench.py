@@ -172,8 +172,33 @@ def run_scaling() -> dict:
     }
 
 
+# Printed-line protocol: the driver records bench stdout with a bounded tail
+# capture — round 2's full 84-query JSON line overflowed it and the recorded
+# BENCH_r02.json was an unparseable truncated string.  So the FULL record is
+# written to BENCH.out.json (committed, judge-readable) and the printed ONE
+# JSON line carries every top-level metric plus a bounded headline subset of
+# per-query timings (slowest first) and a pointer to the full file.
+_PRINT_QUERY_CAP = 20
+
+
+def _emit(rec: dict) -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH.out.json"), "w") as f:
+        json.dump(rec, f, indent=1, sort_keys=True)
+        f.write("\n")
+    line = dict(rec)
+    qs = line.get("queries")
+    if isinstance(qs, dict) and len(qs) > _PRINT_QUERY_CAP:
+        slowest = dict(sorted(qs.items(), key=lambda kv: -kv[1])[:_PRINT_QUERY_CAP])
+        line["queries"] = slowest
+        line["n_queries_total"] = len(qs)
+        line["queries_note"] = f"slowest {_PRINT_QUERY_CAP} shown; full set in BENCH.out.json"
+    line["full_results"] = "BENCH.out.json"
+    print(json.dumps(line, separators=(",", ":")))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        _emit(run_scaling())
     else:
-        print(json.dumps(run_benchmarks()))
+        _emit(run_benchmarks())
