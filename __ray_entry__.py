@@ -262,6 +262,12 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "emb_nn_join": E.emb_nn_join,
         # exact k-NN graph (block-distributed local top-k -> grouped reduce)
         "emb_knn_graph": lambda sf: E.emb_knn_graph(sf),
+        # sub-quadratic scale twins: IVF multi-assign candidate generation,
+        # per-cluster local top-k, one id-keyed reduce (stages/embed.py);
+        # contract = exact k-NN within probed clusters (inlined-centroid SQL
+        # oracle); recall vs the exact graph pytest-pinned
+        "emb_knn_graph_bucketed": lambda sf: E.emb_knn_graph_bucketed(sf),
+        "emb_nn_join_bucketed": lambda sf: E.emb_nn_join_bucketed(sf),
         "emb_cosine_dups": lambda sf: E.emb_cosine_dups(sf),
         "emb_cosine_dups_bucketed": lambda sf: E.emb_cosine_dups_bucketed(sf),
         # SemDeDup-style end-to-end embedding dedup (exact pairs → connected
@@ -501,6 +507,77 @@ def _ivf_pairs_oracle_sql(n_clusters: int = 16, n_assign: int = 2,
         SELECT id_a, id_b, round(list_cosine_similarity(a.v, d.v), 6) AS sim
         FROM cand JOIN b a ON a.vec_id = id_a JOIN b d ON d.vec_id = id_b
         WHERE round(list_cosine_similarity(a.v, d.v), 6) >= {threshold}"""
+
+
+def _ivf_assign_cte(n_clusters: int, n_assign: int) -> str:
+    """Shared CTE prefix: inlined centroids, per-vector multi-assignment to
+    the ``n_assign`` nearest clusters (identical to the engine's
+    deterministic quantizer — see ``_oracle_centroids``)."""
+    centroids, _, _ = _oracle_centroids(n_clusters)
+    cent_values = ", ".join(f"({c}, {_dlist(centroids[c])})"
+                            for c in range(n_clusters))
+    return f"""cents(cid, c) AS (VALUES {cent_values}),
+        b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        assign AS (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY list_distance(v, c), cid) AS rn
+          FROM b CROSS JOIN cents),
+        aa AS (SELECT vec_id, cid FROM assign WHERE rn <= {n_assign})"""
+
+
+def _ivf_knn_oracle_sql(n_clusters: int = 16, n_assign: int = 2,
+                        k: int = 5, with_rank: bool = True) -> str:
+    """SQL twin of ``knn_graph_bucketed`` / ``nn_join_bucketed``: exact k-NN
+    WITHIN the union of each vector's probed clusters, centroids inlined —
+    the bucketed scale path's machinery is hash-verified end-to-end (recall
+    vs the unrestricted exact graph is the pytest concern)."""
+    proj = ("vec_id, nn_rank, nn_id, nn_sim" if with_rank
+            else "vec_id, nn_id, nn_sim")
+    return f"""
+        WITH {_ivf_assign_cte(n_clusters, n_assign)},
+        cand AS (SELECT DISTINCT x.vec_id AS vid, y.vec_id AS nid
+                 FROM aa x JOIN aa y ON x.cid = y.cid
+                 AND x.vec_id <> y.vec_id),
+        scored AS (
+          SELECT vid AS vec_id, nid AS nn_id,
+                 round(list_cosine_similarity(a.v, d.v), 6) AS nn_sim
+          FROM cand JOIN b a ON a.vec_id = vid JOIN b d ON d.vec_id = nid),
+        ranked AS (
+          SELECT vec_id, nn_id, nn_sim,
+                 CAST(row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY nn_sim DESC, nn_id)
+                      AS BIGINT) AS nn_rank
+          FROM scored)
+        SELECT {proj} FROM ranked WHERE nn_rank <= {k}"""
+
+
+def _ivf_dedup_oracle_sql(n_clusters: int = 16, n_assign: int = 2,
+                          threshold: float = 0.4) -> str:
+    """SQL twin of ``emb_dedup_bucketed``: the IVF candidate-pair CTE
+    (``_ivf_pairs_oracle_sql``'s machinery) composed with the recursive
+    reachability closure of ``emb_dedup`` — min-id survivor per component."""
+    return f"""
+        WITH RECURSIVE {_ivf_assign_cte(n_clusters, n_assign)},
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                 FROM aa x JOIN aa y ON x.cid = y.cid
+                 AND x.vec_id < y.vec_id),
+        pairs AS (
+          SELECT id_a, id_b FROM cand
+          JOIN b a ON a.vec_id = id_a JOIN b d ON d.vec_id = id_b
+          WHERE round(list_cosine_similarity(a.v, d.v), 6) >= {threshold}),
+        sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, r) AS (
+          SELECT u, v FROM sym
+          UNION
+          SELECT reach.node, sym.v FROM reach JOIN sym ON reach.r = sym.u)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (
+          SELECT node
+          FROM (SELECT node, least(node, min(r)) AS component
+                FROM reach GROUP BY node)
+          WHERE node <> component)"""
 
 
 def _langid_oracle_sql() -> str:
@@ -1597,4 +1674,7 @@ def oracle_sql() -> dict[str, str]:
     if os.path.exists(f"{_ORACLE_SF_DIR}/embeddings.parquet"):
         out["emb_ann_topk_ivf"] = _ivf_oracle_sql()
         out["emb_cosine_dups_bucketed"] = _ivf_pairs_oracle_sql()
+        out["emb_knn_graph_bucketed"] = _ivf_knn_oracle_sql(with_rank=True)
+        out["emb_nn_join_bucketed"] = _ivf_knn_oracle_sql(k=1, with_rank=False)
+        out["emb_dedup_bucketed"] = _ivf_dedup_oracle_sql()
     return out

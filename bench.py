@@ -102,7 +102,8 @@ def run_benchmarks() -> dict:
         "doc_token_familiarity", "doc_lang_weights", "doc_span_dedup",
         "doc_pack_assignments", "doc_shuffle_order", "doc_corpus_prep",
         "doc_source_cap", "emb_dedup", "emb_dedup_bucketed",
-        "emb_knn_graph", "doc_chunk_windows", "doc_idf",
+        "emb_knn_graph", "emb_knn_graph_bucketed", "emb_nn_join_bucketed",
+        "doc_chunk_windows", "doc_idf",
         "doc_tfidf_top_terms", "doc_inverted_index",
         "shipping_priority", "doc_embedding_join", "media_phash_dups",
         "events_value_hour_corr", "supplier_counts_rollup",

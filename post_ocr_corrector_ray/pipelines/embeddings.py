@@ -34,7 +34,9 @@ from ..stages.embed import (
     cosine_pairs_blockwise,
     ivf_candidate_pairs,
     knn_graph_blockwise,
+    knn_graph_bucketed,
     nn_join_blockwise,
+    nn_join_bucketed,
 )
 
 
@@ -92,6 +94,23 @@ def emb_knn_graph(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     """Every vector's k nearest others with 1-based rank — exact,
     block-distributed (the k-NN-graph input of graph-based dedup/clustering)."""
     return knn_graph_blockwise(_emb(sf_dir), k=k)
+
+
+def emb_knn_graph_bucketed(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Sub-quadratic per-vector k-NN — the 100-TB scale twin of
+    ``emb_knn_graph``: IVF multi-assign candidates, per-cluster local top-k,
+    one id-keyed global reduce.  Hash-verified "exact within probed clusters"
+    by the inlined-centroid SQL oracle; recall vs the exact graph is
+    pytest-pinned (governed by n_clusters/n_assign)."""
+    return knn_graph_bucketed(_emb(sf_dir), k=k, n_clusters=16, n_assign=2,
+                              approx_count=_emb_count(sf_dir))
+
+
+def emb_nn_join_bucketed(sf_dir: str) -> ray.data.Dataset:
+    """Sub-quadratic nearest-neighbor join — scale twin of ``emb_nn_join``
+    (k=1 of the bucketed graph; same oracle/recall posture)."""
+    return nn_join_bucketed(_emb(sf_dir), n_clusters=16, n_assign=2,
+                            approx_count=_emb_count(sf_dir))
 
 
 def doc_embedding_join(sf_dir: str) -> ray.data.Dataset:

@@ -425,6 +425,135 @@ def knn_graph_blockwise(ds: ray.data.Dataset, *, k: int = 5,
     return grouped_apply(partials, [id_col], best_k)
 
 
+def _ivf_multi_assign(ds: ray.data.Dataset, *, centroids: np.ndarray,
+                      n_assign: int, vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> ray.data.Dataset:
+    """Multi-assignment rows (cluster, id, sig): each vector is replicated to
+    its ``n_assign`` nearest coarse clusters, the vector itself traveling as a
+    compact little-endian float64 byte payload (``sig``) so downstream bucket
+    stages score candidates without a second payload join."""
+
+    def assign_multi(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(batch.column(vec_col))
+        d2 = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        near = np.argsort(d2, axis=1)[:, :n_assign]          # (B, n_assign)
+        sig = np.ascontiguousarray(m.astype("<f8")).view(np.uint8) \
+            .reshape(len(ids), -1)
+        return pa.table({
+            "cluster": pa.array(near.ravel().astype(np.int64)),
+            id_col: pa.array(np.repeat(ids, n_assign), pa.int64()),
+            "sig": pa.array([sig[i].tobytes() for i in range(len(ids))
+                             for _ in range(n_assign)], pa.binary())})
+
+    return ds.map_batches(assign_multi, batch_format="pyarrow")
+
+
+def knn_graph_bucketed(ds: ray.data.Dataset, *, k: int = 5,
+                       n_clusters: int = 16, n_assign: int = 2,
+                       seed: int = 42, vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       train_sample: np.ndarray | None = None,
+                       approx_count: int | None = None,
+                       max_bucket: int = 1 << 14) -> ray.data.Dataset:
+    """APPROXIMATE sub-quadratic k-NN graph — the 100-TB scale twin of
+    ``knn_graph_blockwise``: candidates are generated only INSIDE each
+    vector's ``n_assign`` nearest IVF clusters (never scan all pairs — the
+    same pruning idea as the reference dictionary corrector's length-pruned
+    NN scan, /root/reference/src/baselines/dictionary_corrector.py:86-98).
+
+    Shape: multi-assign (vector travels as the ``sig`` carry bytes) → ONE
+    cluster-keyed exchange → per-cluster vectorized all-pairs with per-row
+    local top-k → ONE id-keyed reduce that dedups (a pair sharing two probed
+    clusters is scored twice), takes the global top-k, and assigns
+    ``nn_rank``.  Cost ≈ Σ cluster_size² instead of n²; recall vs the exact
+    graph is governed by (n_clusters, n_assign) and pytest-pinned.
+
+    The CONTRACT (and the SQL oracle) is "exact k-NN within the union of
+    probed clusters": deterministic quantizer (id-hash sample + seeded Lloyd)
+    → the oracle re-derives identical centroids and hash-verifies the whole
+    machinery.  Oversized clusters (> max_bucket) are dropped deterministically
+    (never triggers at oracle scale; at 100 TB raise n_clusters so clusters
+    hold ~10³ vectors).  Output: (id, nn_rank, nn_id, nn_sim) — same schema
+    as the exact twin."""
+    import pandas as pd
+
+    from .shuffle import grouped_apply
+
+    if train_sample is None:
+        train_sample = train_quantizer_sample(ds, vec_col=vec_col, id_col=id_col,
+                                              approx_count=approx_count)
+    centroids = kmeans_fit(train_sample, n_clusters, seed=seed)
+    assigned = _ivf_multi_assign(ds, centroids=centroids, n_assign=n_assign,
+                                 vec_col=vec_col, id_col=id_col)
+
+    def cluster_local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in df.groupby("cluster", sort=False):
+            n = len(grp)
+            if n < 2 or n > max_bucket:
+                continue
+            ids = grp[id_col].to_numpy(np.int64)
+            m = np.stack([np.frombuffer(b, dtype="<f8")
+                          for b in grp["sig"]])
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            sims = np.round((m @ m.T) / (norms[:, None] * norms[None, :]),
+                            SIM_DECIMALS)
+            order = np.argsort(ids)                # ties → smallest nn_id
+            s = sims[:, order]
+            ids_sorted = ids[order]
+            s[ids[:, None] == ids_sorted[None, :]] = -np.inf   # mask self
+            kk = min(k, n - 1)
+            top = np.argsort(-s, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(ids, kk)
+            cols = ids_sorted[top.ravel()]
+            vals = np.take_along_axis(s, top, axis=1).ravel()
+            good = np.isfinite(vals)
+            outs.append(pd.DataFrame({id_col: rows[good], "nn_id": cols[good],
+                                      "nn_sim": vals[good]}))
+        if not outs:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "nn_id": pd.Series([], dtype="int64"),
+                                 "nn_sim": pd.Series([], dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    partials = grouped_apply(assigned, ["cluster"], cluster_local_topk,
+                             num_partitions=max(8, n_clusters // 2))
+
+    def best_k(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "nn_rank": pd.Series([], dtype="int64"),
+                                 "nn_id": pd.Series([], dtype="int64"),
+                                 "nn_sim": pd.Series([], dtype="float64")})
+        out = df.drop_duplicates(subset=[id_col, "nn_id"]) \
+            .sort_values([id_col, "nn_sim", "nn_id"],
+                         ascending=[True, False, True], kind="mergesort")
+        rnk = out.groupby(id_col).cumcount().to_numpy() + 1
+        out = out.assign(nn_rank=rnk.astype(np.int64))
+        out = out[out["nn_rank"] <= k]
+        return out[[id_col, "nn_rank", "nn_id", "nn_sim"]]
+
+    return grouped_apply(partials, [id_col], best_k)
+
+
+def nn_join_bucketed(ds: ray.data.Dataset, *, n_clusters: int = 16,
+                     n_assign: int = 2, seed: int = 42,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     train_sample: np.ndarray | None = None,
+                     approx_count: int | None = None) -> ray.data.Dataset:
+    """APPROXIMATE nearest-neighbor join — ``knn_graph_bucketed`` at k=1,
+    projected to the exact twin's (id, nn_id, nn_sim) schema.  Vectors whose
+    probed clusters contain no other vector emit no row (same contract as the
+    SQL oracle's probed-subset candidate set)."""
+    g = knn_graph_bucketed(ds, k=1, n_clusters=n_clusters, n_assign=n_assign,
+                           seed=seed, vec_col=vec_col, id_col=id_col,
+                           train_sample=train_sample, approx_count=approx_count)
+    return g.map_batches(lambda t: t.select([id_col, "nn_id", "nn_sim"]),
+                         batch_format="pyarrow")
+
+
 def ivf_candidate_pairs(ds: ray.data.Dataset, *, threshold: float,
                         n_clusters: int = 16, n_assign: int = 2,
                         seed: int = 42, vec_col: str = "embedding",
@@ -452,23 +581,11 @@ def ivf_candidate_pairs(ds: ray.data.Dataset, *, threshold: float,
                                               approx_count=approx_count)
     centroids = kmeans_fit(train_sample, n_clusters, seed=seed)
 
-    def assign_multi(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _to_matrix(batch.column(vec_col))
-        d2 = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        near = np.argsort(d2, axis=1)[:, :n_assign]          # (B, n_assign)
-        sig = np.ascontiguousarray(m.astype("<f8")).view(np.uint8) \
-            .reshape(len(ids), -1)
-        return pa.table({
-            "cluster": pa.array(near.ravel().astype(np.int64)),
-            id_col: pa.array(np.repeat(ids, n_assign), pa.int64()),
-            "sig": pa.array([sig[i].tobytes() for i in range(len(ids))
-                             for _ in range(n_assign)], pa.binary())})
-
     from .dedup import _bucket_pairs_partitioned
 
     cand = _bucket_pairs_partitioned(
-        ds.map_batches(assign_multi, batch_format="pyarrow"),
+        _ivf_multi_assign(ds, centroids=centroids, n_assign=n_assign,
+                          vec_col=vec_col, id_col=id_col),
         ["cluster"], id_col, carry_cols=["sig"], max_bucket=1 << 14)
 
     def verify(batch: pa.Table) -> pa.Table:
