@@ -109,9 +109,24 @@ def build_dictionary(ds: ray.data.Dataset, *, text_col: str = "clean",
 
     The aggregated (token, frequency) result is the broadcast small side (a
     natural-language vocabulary is ~1e5-1e6 rows even at web scale) — safe to
-    collect on the driver and ``ray.put`` once.
+    collect on the driver and ``ray.put`` once.  Tokens below
+    ``min_frequency`` are PRUNED INSIDE the distributed count pipeline before
+    the driver collection: the corrector ignores them anyway (reference
+    :80/:87-88), and a raw web-scale token census (typos, ids, hashes) is
+    orders of magnitude larger than its ≥2-frequency core.  If even the
+    pruned vocabulary outgrew the broadcast budget, the scale twin is a
+    partitioned token-lookup join (hash_join tokens ⋈ vocab on token —
+    stages/joins.py) instead of a driver dict; not needed at any tested
+    scale.
     """
+    import pyarrow.compute as pc
+
     counts = token_counts(ds, text_col=text_col, split=split)
+    if min_frequency > 1:
+        counts = counts.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("frequency"),
+                                                min_frequency)),
+            batch_format="pyarrow")
     vocab: dict[str, int] = {}
     for batch in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for tok, freq in zip(batch.column("token").to_pylist(),

@@ -46,8 +46,21 @@ def dictionary_min_frequency_sweep(
     counts = token_counts(corpus, text_col=clean_col,
                           split=train_split).materialize()
     options = min_frequency_sweep_options(max_token_frequency(counts))
+    # prune the collected vocab at the sweep's SMALLEST option inside the
+    # count pipeline: every sweep point corrects with min_frequency >=
+    # min(options), so sub-threshold tokens can never influence any pass —
+    # the broadcast ships the ≥min(options) core, not the raw token census
+    # (at web scale the census is O(1e8+) while the core stays
+    # vocabulary-sized).  If even that outgrew the broadcast budget, the
+    # scale twin is a partitioned token-lookup join (tokens ⋈ vocab via
+    # stages/joins.py::hash_join) instead of a driver dict.
+    floor = min(options) if options else 1
+    pruned = counts if floor <= 1 else counts.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t.column("frequency"),
+                                                    floor)),
+        batch_format="pyarrow")
     vocab: dict[str, int] = {}
-    for batch in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
+    for batch in pruned.iter_batches(batch_size=65536, batch_format="pyarrow"):
         vocab.update(zip(batch.column("token").to_pylist(),
                          (int(f) for f in batch.column("frequency").to_pylist())))
     vocab_ref = ray.put(vocab)

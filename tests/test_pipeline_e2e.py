@@ -288,3 +288,36 @@ class TestPartitionSchemeGuard:
         extract_correct(ray.data.read_parquet(pages_file), corrector="null",
                         out_dir=out, num_partitions=4, resume=False).to_pandas()
         assert lin.read_output(out).num_rows == N_PAGES
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFlagshipDictionaryCommittedIntermediate:
+    def test_intermediate_is_lineage_store_and_resumes(self):
+        """The twice-consumed extracted corpus must live in a committed
+        partitioned parquet store (the 100-TB posture), not an object-store
+        materialize — and a second run must resume (commit 0 new partitions)."""
+        import shutil
+        import sys
+
+        sys.path.insert(0, os.getcwd())
+        import __ray_entry__ as entry
+
+        store = "/tmp/flagship_dict_corpus_n40"
+        shutil.rmtree(store, ignore_errors=True)
+        out1 = entry._flagship_dictionary(40)
+        n1 = out1.count()
+        assert n1 == 40
+        recs = lin.read_lineage(store)
+        # every NON-EMPTY partition commits with lineage (a 40-row input may
+        # leave some of the 16 hash partitions empty — those never commit)
+        assert len(recs) >= 10
+        assert sum(r["n_rows"] for r in recs) == 40
+        assert all(r["input_fingerprint"] == "synthetic_pages:40" for r in recs)
+        mtimes = {r["partition"]: os.path.getmtime(
+            os.path.join(lin.partition_dir(store, r["partition"]), "data.parquet"))
+            for r in recs}
+        out2 = entry._flagship_dictionary(40)  # resume: no partition rewritten
+        assert out2.count() == n1
+        for pid, mt in mtimes.items():
+            assert os.path.getmtime(os.path.join(
+                lin.partition_dir(store, pid), "data.parquet")) == mt
