@@ -7,6 +7,8 @@ oracles (where expressible) live in __ray_entry__.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -57,7 +59,13 @@ def doc_all_chars(sf_dir: str) -> pa.Table:
 
 
 def doc_token_counts(sf_dir: str) -> ray.data.Dataset:
-    return token_counts(_docs(sf_dir, ["text"]), text_col="text", split=None)
+    # data-size-adaptive exchange: the token shuffle widens with the corpus
+    # (parquet byte size known for free), never a fixed 64 at 100 TB
+    from ..stages.shuffle import partitions_for
+
+    p = partitions_for(size_bytes=os.path.getsize(f"{sf_dir}/documents.parquet"))
+    return token_counts(_docs(sf_dir, ["text"]), text_col="text", split=None,
+                        num_partitions=p)
 
 
 def doc_split_assignment(sf_dir: str) -> ray.data.Dataset:

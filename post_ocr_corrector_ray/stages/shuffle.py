@@ -27,7 +27,53 @@ import numpy as np
 import pandas as pd
 import ray.data
 
-DEFAULT_PARTITIONS = 64
+DEFAULT_PARTITIONS = 64   # fixed fallback (no Ray session / explicit pins)
+
+_TARGET_PARTITION_BYTES = 256 << 20   # ~256 MB of input per reduce partition
+_TARGET_PARTITION_ROWS = 1 << 21      # ~2M rows per reduce partition
+
+
+def partitions_for(size_bytes: int | None = None, rows: int | None = None, *,
+                   floor: int = 8, cap: int = 8192) -> int:
+    """Adaptive exchange width: the number of coarse reduce partitions an
+    exchange should use.
+
+    Two adaptive components, take the max:
+    - CLUSTER-scaled: ~2 partitions per CPU (good reduce-task granularity;
+      equals the legacy fixed 64 on the 32-CPU bench box) so small inputs
+      still use the whole machine.
+    - DATA-scaled: enough partitions that each holds ~256 MB / ~2M rows of
+      input — the component that matters at 100 TB, where a fixed 64-wide
+      exchange would put ~1.5 TB in each reduce task.  Callers that know
+      their input size (parquet metadata, ``os.path.getsize``) pass it;
+      ``connected_components`` adapts DOWN for toy graphs the same way.
+
+    Exactness never depends on P (all-key-equal rows land together at any
+    width — pinned by the partition-count-invariance tests), so the value is
+    a pure performance knob.
+    """
+    import math
+
+    p = floor
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+            p = max(p, min(2 * cpus, 256))
+        else:
+            p = max(p, DEFAULT_PARTITIONS)
+    except Exception:
+        p = max(p, DEFAULT_PARTITIONS)
+    if size_bytes:
+        p = max(p, math.ceil(size_bytes / _TARGET_PARTITION_BYTES))
+    if rows:
+        p = max(p, math.ceil(rows / _TARGET_PARTITION_ROWS))
+    return int(min(p, cap))
+
+
+def _resolve_partitions(num_partitions: int | None) -> int:
+    return partitions_for() if num_partitions is None else int(num_partitions)
 
 
 class _EmptySchemaDivergenceFilter(logging.Filter):
@@ -94,11 +140,14 @@ def add_key_partition(df: pd.DataFrame, key_cols: list[str],
 
 def grouped_apply(ds: ray.data.Dataset, key_cols: list[str],
                   fn: Callable[[pd.DataFrame], pd.DataFrame], *,
-                  num_partitions: int = DEFAULT_PARTITIONS) -> ray.data.Dataset:
+                  num_partitions: int | None = None) -> ray.data.Dataset:
     """Apply ``fn`` (vectorized pandas, sees every row of each key it
     receives) once per coarse partition.  ``fn`` must itself group by
     ``key_cols`` internally; it is called with all rows whose key hashes into
-    one partition."""
+    one partition.  ``num_partitions=None`` → adaptive (``partitions_for``:
+    cluster-scaled here; pass an explicit data-scaled width when input bytes
+    are known)."""
+    num_partitions = _resolve_partitions(num_partitions)
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         return add_key_partition(df, key_cols, num_partitions)
@@ -117,7 +166,7 @@ def grouped_apply(ds: ray.data.Dataset, key_cols: list[str],
 
 def grouped_agg(ds: ray.data.Dataset, key_cols: list[str],
                 agg_spec: dict[str, tuple[str, str]], *,
-                num_partitions: int = DEFAULT_PARTITIONS) -> ray.data.Dataset:
+                num_partitions: int | None = None) -> ray.data.Dataset:
     """Exact high-cardinality groupby-aggregate.
 
     ``agg_spec``: output_col → (input_col, pandas agg name), e.g.
@@ -135,7 +184,7 @@ def grouped_agg(ds: ray.data.Dataset, key_cols: list[str],
 
 
 def distinct_rows(ds: ray.data.Dataset, key_cols: list[str], *,
-                  num_partitions: int = DEFAULT_PARTITIONS) -> ray.data.Dataset:
+                  num_partitions: int | None = None) -> ray.data.Dataset:
     """Exact distinct over arbitrary-cardinality keys (first row per key after
     a deterministic sort by all columns)."""
 

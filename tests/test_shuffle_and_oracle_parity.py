@@ -156,3 +156,17 @@ class TestExplodeChunks:
         back = _reassemble_df(df).sort_values("url").reset_index(drop=True)
         assert back["extracted_text"].tolist() == ["x" * 100, "short", ""]
         assert back["corrected_text"].tolist() == ["x" * 100, "short", ""]
+
+
+def test_partitions_for_adaptive_width(ray_session):
+    from post_ocr_corrector_ray.stages.shuffle import partitions_for
+
+    # cluster-scaled floor: 2 per CPU (4-CPU test session → 8), never < floor
+    assert partitions_for() == max(8, 2 * 4)
+    # data-scaled: ~256 MB per partition dominates when input is large
+    assert partitions_for(size_bytes=100 << 30) == (100 << 30) // (256 << 20)
+    assert partitions_for(rows=1 << 27) == (1 << 27) // (1 << 21)
+    # cap bounds runaway widths
+    assert partitions_for(size_bytes=1 << 50, cap=8192) == 8192
+    # explicit floor respected
+    assert partitions_for(floor=32) >= 32
