@@ -337,6 +337,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # cross-document exact span dedup (C4 / Lee et al. 2022 family):
         # gram-keyed removal exchange + doc-keyed rebuild — stages/spandedup.py
         "doc_span_dedup": lambda sf: D.doc_span_dedup(sf),
+        # scale default: 128-bit hashed gram keys (~4x fewer exchange bytes);
+        # identical output, so it shares the string twin's oracle
+        "doc_span_dedup_hashed": lambda sf: D.doc_span_dedup_hashed(sf),
         # sequence packing via distributed exclusive prefix sum (range-bucket
         # base offsets + ONE bucket-keyed exchange — stages/packing.py)
         "doc_pack_assignments": lambda sf: D.doc_pack_assignments(sf),
@@ -1683,6 +1686,10 @@ def oracle_sql() -> dict[str, str]:
     # the IVF oracle inlines centroids derived from the driver's sf0.01
     # correctness fixture; if that fixture is absent (other deployments),
     # degrade that ONE query to rows-only instead of breaking every oracle
+    # the hashed-gram span-dedup path produces byte-identical output to the
+    # string twin (hash keys only change the EXCHANGE representation), so it
+    # shares the twin's oracle verbatim
+    out["doc_span_dedup_hashed"] = out["doc_span_dedup"]
     if os.path.exists(f"{_ORACLE_SF_DIR}/embeddings.parquet"):
         out["emb_ann_topk_ivf"] = _ivf_oracle_sql()
         out["emb_cosine_dups_bucketed"] = _ivf_pairs_oracle_sql()

@@ -100,6 +100,7 @@ def run_benchmarks() -> dict:
         "doc_repetition_stats", "doc_contamination",
         "doc_contamination_joined",
         "doc_token_familiarity", "doc_lang_weights", "doc_span_dedup",
+        "doc_span_dedup_hashed",
         "doc_pack_assignments", "doc_shuffle_order", "doc_corpus_prep",
         "doc_source_cap", "emb_dedup", "emb_dedup_bucketed",
         "emb_knn_graph", "emb_knn_graph_bucketed", "emb_nn_join_bucketed",

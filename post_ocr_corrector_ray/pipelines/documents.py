@@ -575,10 +575,22 @@ def doc_span_dedup(sf_dir: str, k: int = 8) -> ray.data.Dataset:
     word-k-gram occurring in ≥2 documents except the copy in the lowest
     doc_id, and rebuild each document from its surviving words.  Two coarse
     exchanges (gram-keyed removal detection, doc-keyed reconstruction); exact
-    DuckDB twin hash-matches clean_text itself."""
+    DuckDB twin hash-matches clean_text itself.  String gram keys — the
+    SQL-expressible twin of the hashed default below."""
     from ..stages.spandedup import span_dedup
 
-    return span_dedup(_docs(sf_dir, ["doc_id", "text"]), k=k)
+    return span_dedup(_docs(sf_dir, ["doc_id", "text"]), k=k, hash_grams=False)
+
+
+def doc_span_dedup_hashed(sf_dir: str, k: int = 8) -> ray.data.Dataset:
+    """The scale default of ``doc_span_dedup``: the removal exchange is keyed
+    on the 128-bit gram hash (16 bytes/occurrence instead of the ~50-byte
+    string — measured ~4× fewer exchange bytes).  Output is identical to the
+    string twin (collisions ~n²/2¹²⁹), so the SAME DuckDB oracle
+    hash-verifies this path too."""
+    from ..stages.spandedup import span_dedup
+
+    return span_dedup(_docs(sf_dir, ["doc_id", "text"]), k=k, hash_grams=True)
 
 
 def doc_pack_assignments(sf_dir: str, budget: int = 512) -> ray.data.Dataset:

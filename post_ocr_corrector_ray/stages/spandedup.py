@@ -25,12 +25,17 @@ cardinality):
 
 Scale notes: the occurrence exchange ships each word ``k`` times (the
 inherent cost of exact span dedup; Lee et al.'s suffix-array variant trades
-this for a global sort).  At 100 TB the gram string would be replaced by a
-128-bit content hash to cut exchange bytes ~5×; the string form is kept here
-because it is exactly SQL-expressible (the DuckDB twin in __ray_entry__
-hash-matches the full output, clean text included).  Skew: a boilerplate gram
-appearing in millions of docs lands in one partition — bounded by emitting
-removal records (3 ints/occurrence), not text.
+this for a global sort).  The DEFAULT exchange key is a 128-bit gram hash
+(two independent seeded 64-bit lanes — ``hash_grams=True``): removal
+detection only needs gram EQUALITY, and 16 bytes/gram cuts exchange bytes
+~4-5× vs the raw string (collision odds ~n²/2¹²⁹ — negligible at any corpus
+size).  ``hash_grams=False`` keeps the string key, which is exactly
+SQL-expressible (the DuckDB twin in __ray_entry__ hash-matches the full
+output, clean text included); both paths produce identical output
+(pytest-pinned), so the twin's oracle also verifies the hashed default.
+Skew: a boilerplate gram appearing in millions of docs lands in one
+partition — bounded by emitting removal records (3 ints/occurrence), not
+text.
 """
 
 from __future__ import annotations
@@ -48,9 +53,19 @@ from .textstats import _split_words
 _SIDE = "_side"
 
 
+# two independent 16-byte hash keys → two independent 64-bit lanes = the
+# 128-bit gram identity (pd.util.hash_pandas_object is deterministic across
+# processes for a fixed hash_key)
+_GRAM_HASH_KEY_LO = "spandedup-lane-0"
+_GRAM_HASH_KEY_HI = "spandedup-lane-1"
+
+
 def gram_occurrences_batch(batch: pa.Table, *, text_col: str = "text",
-                           id_col: str = "doc_id", k: int = 8) -> pa.Table:
-    """Every word-k-gram occurrence in the batch → (doc_id, pos, gram).
+                           id_col: str = "doc_id", k: int = 8,
+                           hash_grams: bool = False) -> pa.Table:
+    """Every word-k-gram occurrence in the batch → (doc_id, pos, gram) — or,
+    with ``hash_grams=True``, (doc_id, pos, g_lo, g_hi): the 128-bit hashed
+    key that cuts exchange bytes ~4-5× (the scale default of span_dedup).
 
     ``pos`` is the 0-based word index of the gram's first word.  Unlike the
     contamination grams (corpusprep.word_grams_per_row), occurrences are NOT
@@ -62,6 +77,11 @@ def gram_occurrences_batch(batch: pa.Table, *, text_col: str = "text",
     row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
     L = len(flat)
     if L < k:
+        if hash_grams:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "g_lo": pa.array([], pa.int64()),
+                             "g_hi": pa.array([], pa.int64())})
         return pa.table({id_col: pa.array([], pa.int64()),
                          "pos": pa.array([], pa.int64()),
                          "gram": pa.array([], pa.string())})
@@ -74,20 +94,31 @@ def gram_occurrences_batch(batch: pa.Table, *, text_col: str = "text",
     offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
     pos = (np.nonzero(valid)[0] - offsets[grow]).astype(np.int64)
     ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    if hash_grams:
+        s = grams.to_pandas()
+        lo = pd.util.hash_pandas_object(
+            s, index=False, hash_key=_GRAM_HASH_KEY_LO).to_numpy().view(np.int64)
+        hi = pd.util.hash_pandas_object(
+            s, index=False, hash_key=_GRAM_HASH_KEY_HI).to_numpy().view(np.int64)
+        return pa.table({id_col: pa.array(ids[grow], pa.int64()),
+                         "pos": pa.array(pos, pa.int64()),
+                         "g_lo": pa.array(lo, pa.int64()),
+                         "g_hi": pa.array(hi, pa.int64())})
     return pa.table({id_col: pa.array(ids[grow], pa.int64()),
                      "pos": pa.array(pos, pa.int64()),
                      "gram": grams})
 
 
-def _removals(df: pd.DataFrame, id_col: str) -> pd.DataFrame:
+def _removals(df: pd.DataFrame, id_col: str,
+              gram_cols: list[str]) -> pd.DataFrame:
     """Per gram-partition: occurrences of cross-doc-duplicated grams outside
     the keeper (min doc_id) doc → (doc_id, pos) removal records."""
     if df.empty:
         return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
                              "pos": pd.Series([], dtype="int64")})
-    stats = df.groupby("gram")[id_col].agg(nd="nunique", keeper="min")
+    stats = df.groupby(gram_cols)[id_col].agg(nd="nunique", keeper="min")
     dup = stats[stats["nd"] >= 2]
-    m = df.merge(dup, left_on="gram", right_index=True, how="inner")
+    m = df.merge(dup, left_on=gram_cols, right_index=True, how="inner")
     m = m[m[id_col] != m["keeper"]]
     return pd.DataFrame({id_col: m[id_col].astype("int64").to_numpy(),
                          "pos": m["pos"].astype("int64").to_numpy()})
@@ -138,16 +169,20 @@ def _rebuild(df: pd.DataFrame, id_col: str, k: int) -> pd.DataFrame:
 
 def span_dedup(docs: ray.data.Dataset, *, text_col: str = "text",
                id_col: str = "doc_id", k: int = 8,
+               hash_grams: bool = True,
                num_partitions: int = DEFAULT_PARTITIONS) -> ray.data.Dataset:
     """Cross-document exact span dedup over ``docs`` (must have ``id_col``,
     ``text_col``) → (doc_id, clean_text, n_words, n_removed), one row per
     input document (unchanged docs included, clean_text == normalized join of
-    their words)."""
+    their words).  ``hash_grams=True`` (default) keys the removal exchange on
+    the 128-bit gram hash — ~4-5× fewer exchange bytes, identical output
+    (pytest-pinned vs the string key; collisions negligible)."""
+    gram_cols = ["g_lo", "g_hi"] if hash_grams else ["gram"]
     occ = docs.map_batches(gram_occurrences_batch, batch_format="pyarrow",
                            fn_kwargs=dict(text_col=text_col, id_col=id_col,
-                                          k=k))
-    rem = grouped_apply(occ, ["gram"],
-                        lambda df: _removals(df, id_col),
+                                          k=k, hash_grams=hash_grams))
+    rem = grouped_apply(occ, gram_cols,
+                        lambda df: _removals(df, id_col, gram_cols),
                         num_partitions=num_partitions)
 
     # tagged union of (docs: side 0) and (removals: side 1) → ONE doc_id

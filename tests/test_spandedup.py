@@ -106,3 +106,36 @@ class TestSpanDedupE2E:
                  for _ in range(40)]
         got = self._run(texts, k=5)
         assert got == _brute_span_dedup(texts, range(len(texts)), 5)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHashedGramKeys:
+    def test_hashed_equals_string_path(self):
+        import ray.data
+
+        rng = np.random.default_rng(11)
+        vocab = [f"t{i}" for i in range(15)]
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 40)))
+                 for _ in range(60)]
+        ds = ray.data.from_arrow(_batch(texts, list(range(60))))
+        a = sd.span_dedup(ds, k=6, hash_grams=False, num_partitions=8) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        ds = ray.data.from_arrow(_batch(texts, list(range(60))))
+        b = sd.span_dedup(ds, k=6, hash_grams=True, num_partitions=8) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_hashed_occurrence_rows_are_smaller(self):
+        """The point of the hashed key: exchange bytes per occurrence drop
+        several-fold (16 bytes of hash vs the full gram string)."""
+        texts = [" ".join(f"longword{i:04d}" for i in range(40))
+                 for _ in range(20)]
+        batch = _batch(texts, list(range(20)))
+        s = sd.gram_occurrences_batch(batch, k=8, hash_grams=False)
+        h = sd.gram_occurrences_batch(batch, k=8, hash_grams=True)
+        assert s.num_rows == h.num_rows
+        str_bytes = s.column("gram").nbytes
+        hash_bytes = h.column("g_lo").nbytes + h.column("g_hi").nbytes
+        assert hash_bytes * 3 < str_bytes   # ≥3x reduction on realistic grams
