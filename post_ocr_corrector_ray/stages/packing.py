@@ -20,10 +20,13 @@ sort** (the scan analog of stages/quantiles.py::global_rank):
 Scale posture: three passes over a (key, value) projection that is ~16
 bytes/row — at 100 TB the projection would be checkpointed to Parquet after
 pass 0 and the two scans would read that, not the corpus.  Driver memory is
-O(num_partitions); the exchange moves the projection once.  Skew: range
-buckets are equal-width in key space, so a dense key region concentrates rows
-— acceptable for id-like keys; a production variant would place bucket edges
-at sampled key quantiles instead.
+O(num_partitions); the exchange moves the projection once.  Skew: the
+DEFAULT bucket edges sit at sampled key QUANTILES (per-batch equi-spaced key
+samples → driver sort → one edge per 1/P quantile), so every bucket holds
+~1/P of the rows whatever the key distribution; ``bucket_edges="width"``
+keeps the equal-width variant (marginally cheaper probe — fine for uniform
+id-like keys).  Exactness never depends on the edges: any monotone
+key→bucket map yields the same prefix sums (pinned by the skewed-key test).
 """
 
 from __future__ import annotations
@@ -37,51 +40,91 @@ import ray.data
 from .shuffle import DEFAULT_PARTITIONS, grouped_apply
 
 
+def _sample_keys(batch_keys: np.ndarray, per_batch: int = 64) -> np.ndarray:
+    """Equi-spaced sample of a batch's SORTED keys — ≤ per_batch values that
+    track the batch's key distribution (including both extremes)."""
+    if len(batch_keys) <= per_batch:
+        return np.sort(batch_keys)
+    srt = np.sort(batch_keys)
+    idx = np.linspace(0, len(srt) - 1, per_batch).astype(np.int64)
+    return srt[idx]
+
+
 def prefix_sum_by_key(ds: ray.data.Dataset, key_col: str, val_col: str, *,
                       out_col: str = "prefix_excl",
-                      num_partitions: int = DEFAULT_PARTITIONS
-                      ) -> ray.data.Dataset:
+                      num_partitions: int = DEFAULT_PARTITIONS,
+                      bucket_edges: str = "quantile") -> ray.data.Dataset:
     """Exact exclusive prefix sum of ``val_col`` over rows ordered by
     ``key_col`` (keys must be distinct integers).  Output: (key_col, val_col,
-    out_col)."""
+    out_col).
+
+    ``bucket_edges="quantile"`` (default): bucket edges at sampled key
+    quantiles — balanced bucket loads under ANY key distribution.
+    ``"width"``: equal-width ranges over [min, max] (the uniform-key
+    shortcut).  The result is identical either way; only load balance of the
+    pass-3 exchange differs.
+    """
     import ray
 
+    if bucket_edges not in ("quantile", "width"):
+        raise ValueError(f"prefix_sum_by_key: unknown bucket_edges="
+                         f"{bucket_edges!r}")
     proj = ds.map_batches(lambda t: t.select([key_col, val_col]),
                           batch_format="pyarrow")
 
-    # pass 1: key domain
-    def minmax(batch: pa.Table) -> pa.Table:
+    # pass 1: key-domain probe — (min, max) partials plus an equi-spaced
+    # per-batch key sample for the quantile edges
+    def probe(batch: pa.Table) -> pa.Table:
         k = batch.column(key_col).to_numpy(zero_copy_only=False)
         if len(k) == 0:
-            return pa.table({"lo": pa.array([], pa.int64()),
-                             "hi": pa.array([], pa.int64())})
-        return pa.table({"lo": pa.array([int(k.min())], pa.int64()),
-                         "hi": pa.array([int(k.max())], pa.int64())})
+            return pa.table({"sample": pa.array([], pa.int64())})
+        return pa.table({"sample": pa.array(
+            _sample_keys(k.astype(np.int64)), pa.int64())})
 
-    lo, hi = None, None
-    for b in proj.map_batches(minmax, batch_format="pyarrow") \
+    samples = []
+    for b in proj.map_batches(probe, batch_format="pyarrow") \
             .iter_batches(batch_format="pyarrow"):
-        for l, h in zip(b.column("lo").to_pylist(), b.column("hi").to_pylist()):
-            lo = l if lo is None else min(lo, l)
-            hi = h if hi is None else max(hi, h)
-    if lo is None:
+        s = b.column("sample").to_numpy(zero_copy_only=False)
+        if len(s):
+            samples.append(s)
+    if not samples:
         return ray.data.from_arrow(pa.table({
             key_col: pa.array([], pa.int64()),
             val_col: pa.array([], pa.int64()),
             out_col: pa.array([], pa.int64())}))
-    width = max((hi - lo + num_partitions) // num_partitions, 1)
+    sample = np.sort(np.concatenate(samples))
+    lo, hi = int(sample[0]), int(sample[-1])
+    if bucket_edges == "quantile":
+        # one edge per 1/P quantile of the sampled keys; searchsorted maps
+        # out-of-sample keys to the first/last bucket naturally
+        qpos = np.linspace(0, len(sample) - 1,
+                           num_partitions + 1)[1:-1].astype(np.int64)
+        edges = np.unique(sample[qpos])
+
+        def bucket_of(k: np.ndarray) -> np.ndarray:
+            return np.searchsorted(edges, k, side="right").astype(np.int64)
+
+        n_buckets = len(edges) + 1
+    else:
+        width = max((hi - lo + num_partitions) // num_partitions, 1)
+
+        def bucket_of(k: np.ndarray) -> np.ndarray:
+            return np.clip((k - lo) // width, 0, num_partitions - 1) \
+                .astype(np.int64)
+
+        n_buckets = num_partitions
 
     # pass 2: per-bucket sums → exclusive bucket bases
     def bucket_sums(batch: pa.Table) -> pa.Table:
         k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
         v = batch.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        bk = (k - lo) // width
-        sums = np.bincount(bk, weights=v, minlength=num_partitions).astype(np.int64)
+        bk = bucket_of(k)
+        sums = np.bincount(bk, weights=v, minlength=n_buckets).astype(np.int64)
         nz = np.nonzero(sums)[0]
         return pa.table({"bucket": pa.array(nz, pa.int64()),
                          "s": pa.array(sums[nz], pa.int64())})
 
-    totals = np.zeros(num_partitions, dtype=np.int64)
+    totals = np.zeros(n_buckets, dtype=np.int64)
     for b in proj.map_batches(bucket_sums, batch_format="pyarrow") \
             .iter_batches(batch_format="pyarrow"):
         # np.add.at, not fancy-index +=: one driver batch holds partials from
@@ -94,8 +137,7 @@ def prefix_sum_by_key(ds: ray.data.Dataset, key_col: str, val_col: str, *,
     # pass 3: bucket-keyed exchange, local sorted cumsum + base
     def add_bucket(batch: pa.Table) -> pa.Table:
         k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.append_column(
-            "_bucket", pa.array((k - lo) // width, pa.int64()))
+        return batch.append_column("_bucket", pa.array(bucket_of(k), pa.int64()))
 
     def scan(df: pd.DataFrame) -> pd.DataFrame:
         base = ray.get(bases_ref)

@@ -76,3 +76,68 @@ class TestPacking:
         # pack ids are contiguous from 0
         ids = sorted(out["pack_id"].unique())
         assert ids == list(range(len(ids)))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQuantileEdges:
+    def _skewed(self, n=4000):
+        # 90% of keys packed into a dense region: equal-width edges put ~all
+        # rows in one bucket; quantile edges must spread them
+        rng = np.random.default_rng(3)
+        dense = np.arange(0, int(n * 0.9))
+        sparse = rng.choice(np.arange(10**9, 2 * 10**9), size=n - len(dense),
+                            replace=False)
+        keys = np.concatenate([dense, sparse])
+        vals = rng.integers(1, 50, size=n)
+        return pa.table({"k": pa.array(keys, pa.int64()),
+                         "v": pa.array(vals, pa.int64())})
+
+    def _spec(self, tbl):
+        import pandas as pd
+
+        df = tbl.to_pandas().sort_values("k")
+        return dict(zip(df["k"], np.concatenate(([0], np.cumsum(df["v"])[:-1]))))
+
+    def test_quantile_and_width_agree_with_spec(self):
+        import ray.data
+
+        from post_ocr_corrector_ray.stages.packing import prefix_sum_by_key
+
+        tbl = self._skewed()
+        want = self._spec(tbl)
+        for edges in ("quantile", "width"):
+            got = prefix_sum_by_key(ray.data.from_arrow(tbl), "k", "v",
+                                    num_partitions=16, bucket_edges=edges) \
+                .to_pandas()
+            assert dict(zip(got["k"], got["prefix_excl"])) == want, edges
+
+    def test_quantile_edges_balance_skewed_buckets(self):
+        """The load-balance property itself: under the 90%-dense key
+        distribution, quantile edges keep the largest bucket near 1/P of the
+        rows, while equal-width edges funnel the dense region into one."""
+        import ray.data
+
+        from post_ocr_corrector_ray.stages import packing as pk
+
+        tbl = self._skewed()
+        ds = ray.data.from_arrow(tbl)
+        proj = ds.map_batches(lambda t: t.select(["k", "v"]),
+                              batch_format="pyarrow")
+        samples = []
+        for b in proj.iter_batches(batch_format="pyarrow"):
+            samples.append(pk._sample_keys(
+                b.column("k").to_numpy(zero_copy_only=False).astype(np.int64)))
+        sample = np.sort(np.concatenate(samples))
+        P = 16
+        qpos = np.linspace(0, len(sample) - 1, P + 1)[1:-1].astype(np.int64)
+        edges = np.unique(sample[qpos])
+        keys = tbl.column("k").to_numpy(zero_copy_only=False)
+        qcounts = np.bincount(np.searchsorted(edges, keys, side="right"),
+                              minlength=len(edges) + 1)
+        lo, hi = int(keys.min()), int(keys.max())
+        width = max((hi - lo + P) // P, 1)
+        wcounts = np.bincount(np.clip((keys - lo) // width, 0, P - 1),
+                              minlength=P)
+        n = len(keys)
+        assert wcounts.max() >= 0.85 * n          # width: dense region funnels
+        assert qcounts.max() <= 2.5 * n / P       # quantile: balanced
