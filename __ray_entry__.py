@@ -406,6 +406,11 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # Misra–Gries heavy hitters (shuffle-free approximate top-token twin;
         # MG guarantee pytest-pinned vs exact counts — no SQL oracle)
         "doc_heavy_hitters": lambda sf: D.doc_heavy_hitters(sf),
+        # mergeable KLL quantile sketch over the continuous event value
+        # (scale twin of exact_quantiles; approximate → no SQL oracle,
+        # rank-error pytest-pinned — stages/quantiles.py)
+        "events_value_quantiles_sketch":
+            lambda sf: R.events_value_quantiles_sketch(sf),
         # per-doc token Shannon entropy (diversity quality signal, no shuffle)
         "doc_token_entropy": lambda sf: D.doc_token_entropy(sf),
     }

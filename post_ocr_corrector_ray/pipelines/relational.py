@@ -1016,6 +1016,19 @@ def customer_order_stats(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def events_value_quantiles_sketch(sf_dir: str) -> pa.Table:
+    """Approximate quantiles of the CONTINUOUS event value via the mergeable
+    KLL sketch (stages/quantiles.py::sketch_quantiles): per-block sketches,
+    one shuffle-free driver merge, O(k log n) memory whatever the value
+    cardinality — the scale twin of the exact discrete-histogram path (which
+    keeps the SQL oracle for integer columns).  Approximate by design → no
+    SQL oracle; rank error vs exact is pytest-pinned (< 1.5% at k=256)."""
+    from ..stages.quantiles import sketch_quantiles
+
+    ds = _read(sf_dir, "events", ["value"])
+    return sketch_quantiles(ds, "value", [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
 def events_value_mad(sf_dir: str) -> pa.Table:
     """Median absolute deviation of value per event_type — the robust-spread
     statistic as a TWO-PASS composition of the mergeable grouped quantile

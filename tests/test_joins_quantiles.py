@@ -359,3 +359,66 @@ class TestGlobalRankNullKeys:
         # null-key rows are excluded from BOTH passes (no crash, no rank)
         assert got["id"].tolist() == [1, 3, 5]
         assert got["rank"].tolist() == [2, 1, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKllSketch:
+    def test_rank_error_bound_vs_exact(self):
+        """KLL sketch quantiles land within 1.5% rank error of the exact
+        sorted-array answer on a heavy-tailed continuous distribution."""
+        import ray.data
+
+        from post_ocr_corrector_ray.stages.quantiles import sketch_quantiles
+
+        rng = np.random.default_rng(5)
+        x = rng.lognormal(0.0, 2.0, 120_000)
+        ds = ray.data.from_arrow(pa.table({"v": pa.array(x, pa.float64())})) \
+            .repartition(16)
+        got = sketch_quantiles(ds, "v", [0.01, 0.25, 0.5, 0.9, 0.99], k=256) \
+            .to_pandas()
+        xs = np.sort(x)
+        for r in got.itertuples():
+            rank_err = abs(np.searchsorted(xs, r.value) / len(xs) - r.q)
+            assert rank_err < 0.015, (r.q, rank_err)
+
+    def test_merge_equals_single_stream(self):
+        """Mergeability: feeding two halves into two sketches then merging
+        estimates as well as one sketch fed everything."""
+        from post_ocr_corrector_ray.stages.quantiles import KllSketch
+
+        rng = np.random.default_rng(9)
+        x = rng.normal(size=50_000)
+        a, b = KllSketch(256), KllSketch(256)
+        a.update(x[:25_000]); b.update(x[25_000:])
+        a.merge(b)
+        assert a.n == 50_000
+        xs = np.sort(x)
+        for q in (0.1, 0.5, 0.9):
+            err = abs(np.searchsorted(xs, a.quantile(q)) / len(xs) - q)
+            assert err < 0.02, (q, err)
+
+    def test_transport_roundtrip(self):
+        from post_ocr_corrector_ray.stages.quantiles import KllSketch
+
+        s = KllSketch(64)
+        s.update(np.arange(10_000, dtype=np.float64))
+        t = s.to_table()
+        r = KllSketch.from_rows(t.column("level").to_numpy(),
+                                t.column("value").to_numpy(),
+                                int(t.column("n")[0].as_py()), k=64)
+        assert r.n == s.n
+        for q in (0.25, 0.5, 0.75):
+            assert r.quantile(q) == s.quantile(q)
+
+    def test_nan_and_empty(self):
+        import ray.data
+
+        from post_ocr_corrector_ray.stages.quantiles import sketch_quantiles
+
+        ds = ray.data.from_arrow(pa.table({
+            "v": pa.array([float("nan")] * 5 + [1.0, 2.0, 3.0], pa.float64())}))
+        got = sketch_quantiles(ds, "v", [0.5]).to_pandas()
+        assert got["value"].iloc[0] in (1.0, 2.0, 3.0)
+        empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+        out = sketch_quantiles(empty, "v", [0.5]).to_pandas()
+        assert np.isnan(out["value"].iloc[0])
