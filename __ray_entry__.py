@@ -393,6 +393,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "events_topk_per_type": R.events_topk_per_type,
         # iterative distributed dataflow: PageRank over the exact k-NN graph
         "emb_pagerank": lambda sf: E.emb_pagerank(sf),
+        # the 100-TB composition: PageRank over the BUCKETED graph (true
+        # per-src out-degrees; same probed-subset oracle contract)
+        "emb_pagerank_bucketed": lambda sf: E.emb_pagerank_bucketed(sf),
         # TPC-H Q6 shape: scan-side filter + shuffle-free global sum
         "forecast_revenue": R.forecast_revenue,
         # LEFT OUTER fact-fact join (zero-order customers kept)
@@ -570,6 +573,45 @@ def _ivf_knn_oracle_sql(n_clusters: int = 16, n_assign: int = 2,
                       AS BIGINT) AS nn_rank
           FROM scored)
         SELECT {proj} FROM ranked WHERE nn_rank <= {k}"""
+
+
+def _ivf_pagerank_oracle_sql(n_clusters: int = 16, n_assign: int = 2,
+                             k: int = 5, d: float = 0.85) -> str:
+    """SQL twin of ``emb_pagerank_bucketed``: the probed-subset k-NN edge set
+    (same CTE as ``_ivf_knn_oracle_sql``) driving 3 unrolled PageRank rounds
+    with per-source out-degrees (the bucketed graph's degree may be < k)."""
+    rounds = []
+    prev = "r0"
+    for i in (1, 2, 3):
+        rounds.append(f"""r{i} AS (SELECT nodes.node,
+                      (1.0 - {d}) / nn.n + {d} * COALESCE(s.s, 0.0) AS r
+               FROM nodes CROSS JOIN nn
+               LEFT JOIN (SELECT e.dst AS node, sum({prev}.r / e.od) AS s
+                          FROM e JOIN {prev} ON e.src = {prev}.node
+                          GROUP BY e.dst) s ON nodes.node = s.node)""")
+        prev = f"r{i}"
+    return f"""
+        WITH {_ivf_assign_cte(n_clusters, n_assign)},
+        cand AS (SELECT DISTINCT x.vec_id AS vid, y.vec_id AS nid
+                 FROM aa x JOIN aa y ON x.cid = y.cid
+                 AND x.vec_id <> y.vec_id),
+        scored AS (
+          SELECT vid AS vec_id, nid AS nn_id,
+                 round(list_cosine_similarity(a.v, d.v), 6) AS nn_sim
+          FROM cand JOIN b a ON a.vec_id = vid JOIN b d ON d.vec_id = nid),
+        g AS (SELECT vec_id AS src, nn_id AS dst FROM (
+                SELECT vec_id, nn_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY nn_sim DESC, nn_id) AS rn
+                FROM scored) WHERE rn <= {k}),
+        e AS (SELECT src, dst, CAST(c AS DOUBLE) AS od
+              FROM g JOIN (SELECT src AS osrc, count(*) AS c
+                           FROM g GROUP BY src) o ON g.src = o.osrc),
+        nodes AS (SELECT vec_id AS node FROM embeddings),
+        nn AS (SELECT CAST((SELECT count(*) FROM embeddings) AS DOUBLE) AS n),
+        r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn),
+        {", ".join(rounds)}
+        SELECT node, round(r, 6) AS pr FROM r3"""
 
 
 def _ivf_dedup_oracle_sql(n_clusters: int = 16, n_assign: int = 2,
@@ -1701,4 +1743,5 @@ def oracle_sql() -> dict[str, str]:
         out["emb_knn_graph_bucketed"] = _ivf_knn_oracle_sql(with_rank=True)
         out["emb_nn_join_bucketed"] = _ivf_knn_oracle_sql(k=1, with_rank=False)
         out["emb_dedup_bucketed"] = _ivf_dedup_oracle_sql()
+        out["emb_pagerank_bucketed"] = _ivf_pagerank_oracle_sql()
     return out

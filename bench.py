@@ -113,7 +113,8 @@ def run_benchmarks() -> dict:
         "events_funnel", "doc_bigram_pmi", "events_latest_per_user",
         "events_value_histogram", "revenue_by_nation",
         "events_cohort_retention", "doc_length_percent_rank",
-        "events_topk_per_type", "emb_pagerank", "forecast_revenue",
+        "events_topk_per_type", "emb_pagerank", "emb_pagerank_bucketed",
+        "forecast_revenue",
         "customer_order_stats", "events_value_mad",
         "events_distinct_users_per_type", "doc_heavy_hitters",
         "doc_token_entropy",

@@ -165,6 +165,95 @@ def emb_dedup_bucketed(sf_dir: str, threshold: float = 0.4) -> ray.data.Dataset:
         sf_dir, emb_cosine_dups_bucketed(sf_dir, threshold=threshold))
 
 
+def emb_pagerank_bucketed(sf_dir: str, k: int = 5, d: float = 0.85,
+                          iters: int = 3) -> pa.Table:
+    """PageRank over the BUCKETED (sub-quadratic) k-NN graph — the 100-TB
+    composition: ``emb_knn_graph_bucketed`` feeds the same iterative
+    join+aggregate dataflow as ``emb_pagerank``, with one difference forced
+    by the approximate graph: out-degree is not uniformly ``k`` (a vector's
+    probed clusters may hold < k neighbors), so each edge carries its
+    source's TRUE out-degree (one tiny src-keyed aggregate + co-partitioned
+    join before the loop) and contributes ``r/outdeg``.  Dangling vectors
+    (no in-bucket neighbor) contribute nothing — same contract in the SQL
+    twin, which re-derives the identical probed-subset graph from inlined
+    centroids."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..stages.components import _pin
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import grouped_agg
+
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    base = (1.0 - d) / float(n)
+
+    graph = emb_knn_graph_bucketed(sf_dir, k=k)
+    raw_edges = _pin(graph.map_batches(
+        lambda t: pa.table({"src": t.column("vec_id"),
+                            "dst": t.column("nn_id")}),
+        batch_format="pyarrow"), 8)
+    od = grouped_agg(raw_edges.map_batches(
+        lambda t: pa.table({"src": t.column("src"),
+                            "c": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow"), ["src"], {"od": ("c", "sum")},
+        num_partitions=8)
+    edges = _pin(hash_join(raw_edges, od.map_batches(
+        lambda t: pa.table({"odsrc": t.column("src"),
+                            "od": t.column("od")}),
+        batch_format="pyarrow"), on="src", right_on="odsrc", how="inner",
+        num_partitions=8), 8)
+    nodes = _pin(ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                       columns=["vec_id"]).map_batches(
+        lambda t: pa.table({"node": t.column("vec_id")}),
+        batch_format="pyarrow"), 16)
+    ranks = nodes.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "r": pa.array(np.full(t.num_rows, 1.0 / float(n)),
+                                          pa.float64())}),
+        batch_format="pyarrow")
+
+    for _ in range(iters):
+        per_edge = hash_join(edges, ranks, on="src", right_on="node",
+                             how="inner", num_partitions=8)
+
+        def contrib_partial(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "dst": batch.column("dst").to_numpy(zero_copy_only=False)
+                                          .astype(np.int64),
+                "rc": batch.column("r").to_numpy(zero_copy_only=False)
+                                       .astype(np.float64)
+                / batch.column("od").to_numpy(zero_copy_only=False)
+                                    .astype(np.float64)})
+            g = df.groupby("dst", as_index=False)["rc"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        zeros = nodes.map_batches(
+            lambda t: pa.table({"dst": t.column("node"),
+                                "rc": pa.array(np.zeros(t.num_rows),
+                                               pa.float64())}),
+            batch_format="pyarrow")
+        agg = grouped_agg(per_edge.map_batches(contrib_partial,
+                                               batch_format="pyarrow")
+                          .union(zeros),
+                          ["dst"], {"rc": ("rc", "sum")}, num_partitions=8)
+
+        def apply_rank(batch: pa.Table) -> pa.Table:
+            s = batch.column("rc").to_numpy(zero_copy_only=False) \
+                                  .astype(np.float64)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False) \
+                                     .astype(np.int64)
+            return pa.table({"node": pa.array(dst, pa.int64()),
+                             "r": pa.array(base + d * s, pa.float64())})
+
+        ranks = _pin(agg.map_batches(apply_rank, batch_format="pyarrow"), 4)
+
+    out = ranks.to_pandas()
+    res = pd.DataFrame({"node": out["node"].astype("int64"),
+                        "pr": np.round(out["r"].to_numpy(np.float64), 6)})
+    return pa.Table.from_pandas(res.sort_values("node").reset_index(drop=True),
+                                preserve_index=False)
+
+
 def emb_pagerank(sf_dir: str, k: int = 5, d: float = 0.85,
                  iters: int = 3) -> pa.Table:
     """PageRank over the exact k-NN graph (graph-centrality data valuation —

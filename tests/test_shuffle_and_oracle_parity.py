@@ -159,10 +159,13 @@ class TestExplodeChunks:
 
 
 def test_partitions_for_adaptive_width(ray_session):
+    import ray
+
     from post_ocr_corrector_ray.stages.shuffle import partitions_for
 
-    # cluster-scaled floor: 2 per CPU (4-CPU test session → 8), never < floor
-    assert partitions_for() == max(8, 2 * 4)
+    # cluster-scaled: 2 per CPU (capped 256), never < floor
+    cpus = int(ray.cluster_resources().get("CPU", 0))
+    assert partitions_for() == max(8, min(2 * cpus, 256))
     # data-scaled: ~256 MB per partition dominates when input is large
     assert partitions_for(size_bytes=100 << 30) == (100 << 30) // (256 << 20)
     assert partitions_for(rows=1 << 27) == (1 << 27) // (1 << 21)
