@@ -414,6 +414,11 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # rank-error pytest-pinned — stages/quantiles.py)
         "events_value_quantiles_sketch":
             lambda sf: R.events_value_quantiles_sketch(sf),
+        # HLL-per-bucket rolling DAU (sketch twin of the window-replication
+        # exact path: mergeable registers make the window union free; accuracy
+        # pytest-pinned vs exact — no SQL oracle)
+        "events_rolling_active_users_hll":
+            lambda sf: R.events_rolling_active_users_hll(sf),
         # per-doc token Shannon entropy (diversity quality signal, no shuffle)
         "doc_token_entropy": lambda sf: D.doc_token_entropy(sf),
     }

@@ -1072,6 +1072,44 @@ def events_value_mad(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def events_rolling_active_users_hll(sf_dir: str, window_hours: int = 24,
+                                    p: int = 12) -> pa.Table:
+    """The sketch twin of ``events_rolling_active_users``: per-hour HLL
+    register arrays built per block and max-merged (stages/sketches.py),
+    then each hour's rolling count is the ESTIMATE of the max-merge of its
+    ≤ W trailing hourly sketches — mergeability makes the window union free,
+    so there is NO W× pair replication and NO hour-keyed exchange of raw
+    rows (exchange volume: blocks × hours × 2^p bytes).  Approximate by
+    design (±1.04/√2^p) → no SQL oracle; accuracy vs the exact twin is
+    pytest-pinned.  Output: (hour, active_users: double estimate)."""
+    from ..stages.sketches import _hll_estimate, hll_registers_by_key
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_pandas()
+        return pa.table({
+            "hour": pa.array(ts.dt.floor("h").astype("datetime64[us]")
+                             .to_numpy().astype("int64"), pa.int64()),
+            "user_id": batch.column("user_id").cast(pa.int64())})
+
+    regs = hll_registers_by_key(ds.map_batches(project, batch_format="pyarrow"),
+                                "hour", "user_id", p=p)
+    hours = np.array(sorted(regs), dtype=np.int64)
+    us_per_hour = 3_600_000_000
+    out_h, out_c = [], []
+    for h in hours:
+        m = None
+        window = hours[(hours > h - window_hours * us_per_hour) & (hours <= h)]
+        for w in window:
+            m = regs[int(w)] if m is None else np.maximum(m, regs[int(w)])
+        out_h.append(int(h))
+        out_c.append(round(_hll_estimate(m), 2))
+    return pa.table({"hour": pa.array(np.array(out_h, dtype="datetime64[us]"),
+                                      pa.timestamp("us")),
+                     "active_users": pa.array(out_c, pa.float64())})
+
+
 def events_rolling_active_users(sf_dir: str, window_hours: int = 24) -> pa.Table:
     """Distinct users active in the trailing ``window_hours`` per hour bucket
     (the rolling-DAU shape).  COUNT DISTINCT over a sliding window is not

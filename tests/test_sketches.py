@@ -89,3 +89,20 @@ def test_mg_empty_summary_still_counts_stream(ray_session):
     assert out.attrs["n_total"] == n
     # no sentinel rows leak into the result
     assert out["token"].notna().all()
+
+
+def test_rolling_dau_hll_tracks_exact(ray_session):
+    """Per-hour HLL rolling DAU stays within ~5% of the exact
+    window-replication twin on the driver fixture (p=12 → σ≈1.6%)."""
+    from post_ocr_corrector_ray.pipelines.relational import (
+        events_rolling_active_users,
+        events_rolling_active_users_hll,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = events_rolling_active_users(sf).to_pandas().set_index("hour")
+    est = events_rolling_active_users_hll(sf).to_pandas().set_index("hour")
+    assert sorted(exact.index) == sorted(est.index)
+    rel = (est["active_users"] - exact["active_users"]).abs() \
+        / exact["active_users"].clip(lower=1)
+    assert rel.max() < 0.05, rel.max()
