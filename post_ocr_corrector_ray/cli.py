@@ -221,30 +221,70 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"partitions_committed": len(summary),
                               "rows": int(summary["n_rows"].sum()) if len(summary) else 0}))
         elif args.cmd == "dedup":
+            import os
+
             from .stages.components import near_dedup, near_dedup_incremental
-            from .stages.dedup import minhash_duplicate_pairs
+            from .stages.dedup import (minhash_duplicate_pairs,
+                                       minhash_duplicate_pairs_incremental,
+                                       signature_store_tables)
             from .state.lineage import (commit_by_key, fingerprint_inputs,
                                         read_output_ds)
 
+            lsh_params = dict(n_hashes=64, bands=16, k_shingle=5)
             docs = ray.data.read_parquet(
                 args.documents, columns=[args.id_col, args.text_col])
 
             def _pairs(ds):
                 return minhash_duplicate_pairs(
                     ds, text_col=args.text_col, id_col=args.id_col,
-                    n_hashes=64, bands=16, k_shingle=5,
-                    jaccard_threshold=args.threshold)
+                    jaccard_threshold=args.threshold, **lsh_params)
+
+            def _sigstore_meta(store_dir):
+                return os.path.join(store_dir, "_sigstore", "meta.json")
 
             if args.against:
-                id_col, text_col = args.id_col, args.text_col
+                id_col = args.id_col
 
-                def _proj(batch):
-                    return batch.select([id_col, text_col])
+                def _proj_id(batch):
+                    return batch.select([id_col])
 
-                store = read_output_ds(args.against) \
-                    .map_batches(_proj, batch_format="pyarrow")
+                store_ids = read_output_ds(args.against) \
+                    .map_batches(_proj_id, batch_format="pyarrow")
+                meta_path = _sigstore_meta(args.against)
+                if os.path.exists(meta_path):
+                    # persisted signature store: candidate generation +
+                    # verification never touch store TEXT again — the wave's
+                    # cost is O(new docs), not O(store + new docs)
+                    with open(meta_path, encoding="utf-8") as f:
+                        meta = json.load(f)
+                    want = {**lsh_params, "id_col": args.id_col}
+                    got = {k: meta.get(k) for k in want}
+                    if got != want:
+                        raise SystemExit(
+                            f"sigstore params {got} != run params {want}; "
+                            "signatures are not comparable across parameter "
+                            "sets — rerun without the persisted store")
+                    store_bands = ray.data.read_parquet(
+                        os.path.join(args.against, "_sigstore", "bands"))
+                    store_sigs = ray.data.read_parquet(
+                        os.path.join(args.against, "_sigstore", "sigs"))
+                    min_new_id = int(docs.min(args.id_col))
+                    pairs = minhash_duplicate_pairs_incremental(
+                        docs, store_bands, store_sigs,
+                        min_new_id=min_new_id, text_col=args.text_col,
+                        id_col=args.id_col,
+                        jaccard_threshold=args.threshold, **lsh_params)
+                else:
+                    text_col = args.text_col
+
+                    def _proj(batch):
+                        return batch.select([id_col, text_col])
+
+                    store = read_output_ds(args.against) \
+                        .map_batches(_proj, batch_format="pyarrow")
+                    pairs = _pairs(docs.union(store))
                 surv = near_dedup_incremental(
-                    docs, store, _pairs(docs.union(store)),
+                    docs, store_ids, pairs,
                     id_col=args.id_col, num_partitions=args.partitions)
             else:
                 surv = near_dedup(docs, _pairs(docs), id_col=args.id_col,
@@ -254,6 +294,19 @@ def main(argv: list[str] | None = None) -> int:
                 num_partitions=args.partitions,
                 input_fingerprint=fingerprint_inputs(args.documents),
                 stage_versions={"dedup": "minhash-lsh-cc-v1"}).to_pandas()
+            # persist the wave's deterministic LSH state so the NEXT wave can
+            # run --against this out_dir without recomputing it from text
+            surv_rb = read_output_ds(args.out_dir).map_batches(
+                lambda b: b.select([args.id_col, args.text_col]),
+                batch_format="pyarrow")
+            bands_ds, sigs_ds = signature_store_tables(
+                surv_rb, text_col=args.text_col, id_col=args.id_col,
+                **lsh_params)
+            bands_ds.write_parquet(os.path.join(args.out_dir, "_sigstore", "bands"))
+            sigs_ds.write_parquet(os.path.join(args.out_dir, "_sigstore", "sigs"))
+            with open(_sigstore_meta(args.out_dir), "w", encoding="utf-8") as f:
+                json.dump({**lsh_params, "id_col": args.id_col,
+                           "threshold": args.threshold}, f)
             print(json.dumps({"partitions_committed": len(summary),
                               "rows": int(summary["n_rows"].sum()) if len(summary) else 0}))
         elif args.cmd == "feed":

@@ -323,10 +323,11 @@ def near_dedup_incremental(new_docs: ray.data.Dataset,
 
     All set logic runs through the co-partitioned exchanges over the tiny
     clustered-node rows; nothing is collected on the driver.  Scale note:
-    this recomputes store signatures from payloads — a production ingest
-    loop would persist the store's band/signature rows next to the survivor
-    store (they are deterministic) and reuse them; the clustering and
-    survivor logic here is unchanged by that optimization.
+    ``pairs`` should come from the persisted-signature ingest path
+    (``stages/dedup.py:minhash_duplicate_pairs_incremental`` over
+    ``signature_store_tables`` written next to the survivor store — the CLI
+    ``dedup`` command does this) so each wave's cost is O(new docs); this
+    function's clustering and survivor logic is identical either way.
     """
     from .joins import hash_join
     from .shuffle import grouped_agg

@@ -401,6 +401,64 @@ def minhash_duplicate_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                                 threshold=jaccard_threshold, out_col="jaccard")
 
 
+def signature_store_tables(ds: ray.data.Dataset, *, text_col: str = "text",
+                           id_col: str = "doc_id", n_hashes: int = 64,
+                           bands: int = 16, k_shingle: int = 5):
+    """(bands_ds, sigs_ds): the deterministic per-document LSH state an
+    append-only ingest loop PERSISTS next to its survivor store and reuses on
+    the next wave — band rows for candidate generation, exact shingle-hash
+    payloads for verification.  Recomputing these from store text on every
+    wave is the cost ``minhash_duplicate_pairs_incremental`` eliminates."""
+    bands_ds = ds.map_batches(
+        minhash_bands_batch, batch_format="pyarrow",
+        fn_kwargs=dict(text_col=text_col, id_col=id_col, n_hashes=n_hashes,
+                       bands=bands, k_shingle=k_shingle))
+    sigs_ds = shingle_signatures(ds, text_col=text_col, id_col=id_col,
+                                 k_shingle=k_shingle)
+    return bands_ds, sigs_ds
+
+
+def minhash_duplicate_pairs_incremental(
+        new_docs: ray.data.Dataset, store_bands: ray.data.Dataset,
+        store_sigs: ray.data.Dataset, *, min_new_id: int,
+        text_col: str = "text", id_col: str = "doc_id", n_hashes: int = 64,
+        bands: int = 16, k_shingle: int = 5,
+        jaccard_threshold: float = 0.8) -> ray.data.Dataset:
+    """Verified near-dup pairs for append-only ingest WITHOUT touching store
+    text: the new wave's bands/signatures are computed, the store side reads
+    its persisted signature store (``signature_store_tables``).
+
+    Store-store pairs are dropped BEFORE verification: incremental-dedup
+    survivors never depend on them (any store contact in a component drops
+    the whole new chain; new-only components contain no store doc), and under
+    the append-only id ordering (every store id < ``min_new_id`` ≤ every new
+    id — the contract near_dedup_incremental documents) the filter is one
+    vectorized comparison: a pair is store-store iff its LARGER id is still
+    below ``min_new_id``.  Verification payload volume likewise drops to
+    pairs that can matter.
+    """
+    new_bands = new_docs.map_batches(
+        minhash_bands_batch, batch_format="pyarrow",
+        fn_kwargs=dict(text_col=text_col, id_col=id_col, n_hashes=n_hashes,
+                       bands=bands, k_shingle=k_shingle))
+    cand = _bucket_pairs_partitioned(new_bands.union(store_bands),
+                                     ["band_id", "band_hash"], id_col,
+                                     distinct=False)
+
+    def drop_store_store(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("id_b"),
+                                             min_new_id))
+
+    cand = cand.map_batches(drop_store_store, batch_format="pyarrow")
+    new_sigs = shingle_signatures(new_docs, text_col=text_col, id_col=id_col,
+                                  k_shingle=k_shingle)
+    return verify_pairs_payload(cand, new_sigs.union(store_sigs),
+                                id_col=id_col,
+                                score_fn=jaccard_from_signatures,
+                                threshold=jaccard_threshold,
+                                out_col="jaccard")
+
+
 # --- SimHash ------------------------------------------------------------------
 
 

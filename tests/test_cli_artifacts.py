@@ -113,6 +113,50 @@ class TestCli:
         m2 = load_model_dir(out)
         assert m2.correct_document("ab c") == m.correct_document("ab c")
 
+    def test_dedup_incremental_sigstore(self, tmp_path):
+        """Two-wave ingest: wave 1 persists its LSH signature store; wave 2
+        --against reuses it (meta.json present) and must keep exactly the
+        survivors the store-text recompute fallback keeps."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from post_ocr_corrector_ray.cli import main
+        from post_ocr_corrector_ray.state.lineage import read_output
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away toward the distant hills today")
+        other = "completely different content about database engines and arrow"
+
+        def _write(path, ids, texts):
+            pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                     "text": pa.array(texts, pa.string())}),
+                           path)
+
+        w1 = str(tmp_path / "wave1.parquet")
+        _write(w1, [0, 1, 2], [base, other,
+                               "unrelated text regarding mountains and rivers"])
+        out1 = str(tmp_path / "out1")
+        assert main([
+            "dedup", w1, out1, "--threshold", "0.5", "--partitions", "2"]) == 0
+        assert (tmp_path / "out1" / "_sigstore" / "meta.json").exists()
+
+        w2 = str(tmp_path / "wave2.parquet")
+        _write(w2, [100, 101, 102],
+               [base.replace("lazy", "hazy"),   # dup of store 0 → drops
+                other,                           # exact dup of store 1 → drops
+                "fresh novel text with nothing shared at all whatsoever"])
+        out2 = str(tmp_path / "out2")
+        assert main(["dedup", w2, out2, "--against", out1,
+                     "--threshold", "0.5", "--partitions", "2"]) == 0
+        got = sorted(read_output(out2)["doc_id"].to_pylist())
+
+        # fallback recompute path (no meta.json → store text re-read)
+        (tmp_path / "out1" / "_sigstore" / "meta.json").unlink()
+        out3 = str(tmp_path / "out3")
+        assert main(["dedup", w2, out3, "--against", out1,
+                     "--threshold", "0.5", "--partitions", "2"]) == 0
+        assert got == sorted(read_output(out3)["doc_id"].to_pylist()) == [102]
+
     def test_subprocess_end_to_end(self, tmp_path):
         """One real subprocess run proving the CLI owns its own session."""
         pages = str(tmp_path / "p.parquet")

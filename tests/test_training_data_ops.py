@@ -112,6 +112,37 @@ class TestDedup:
         assert (0, 1) in pairs
         assert all(p == (0, 1) for p in pairs)
 
+    def test_incremental_pairs_match_recompute(self):
+        """The persisted-signature ingest path (store text never re-read)
+        yields exactly the recompute path's pairs, minus store-store pairs —
+        the only ones incremental survivor logic provably never consults."""
+        import ray.data
+
+        base = "the quick brown fox jumps over the lazy dog and runs far away today"
+        other = "completely different content about database engines and arrow"
+        store_texts = [base, other,
+                       "unrelated words regarding mountains rivers and weather"]
+        new_texts = [base.replace("lazy", "hazy"),    # dup of store 0
+                     other,                            # exact dup of store 1
+                     base.replace("lazy", "hazy"),     # dup of new 100 too
+                     "fresh novel text with nothing shared at all whatsoever"]
+        store = ray.data.from_arrow(_doc_table(store_texts, ids=[0, 1, 2]))
+        new = ray.data.from_arrow(_doc_table(new_texts, ids=[100, 101, 102, 103]))
+        kw = dict(n_hashes=64, bands=32, k_shingle=5, jaccard_threshold=0.5)
+
+        full = dd.minhash_duplicate_pairs(store.union(new), **kw).to_pandas()
+        want = set(zip(full[full["id_b"] >= 100]["id_a"],
+                       full[full["id_b"] >= 100]["id_b"]))
+        assert want, "fixture must produce cross-wave pairs"
+
+        bands_ds, sigs_ds = dd.signature_store_tables(
+            store, n_hashes=64, bands=32, k_shingle=5)
+        inc = dd.minhash_duplicate_pairs_incremental(
+            new, bands_ds, sigs_ds, min_new_id=100, **kw).to_pandas()
+        got = set(zip(inc["id_a"], inc["id_b"]))
+        assert got == want
+        assert (inc["id_b"] >= 100).all()  # no store-store pairs emitted
+
     def test_near_dup_wrappers_never_materialize_on_driver(self, monkeypatch):
         """Round-1 judge finding: the near-dup wrappers used to collect the
         whole corpus into a driver dict.  Pin the fix: building the pipelines
