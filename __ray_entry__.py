@@ -286,6 +286,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # components → min-id survivors; _bucketed = IVF scale path)
         "emb_dedup": lambda sf: E.emb_dedup(sf),
         "emb_dedup_bucketed": lambda sf: E.emb_dedup_bucketed(sf),
+        # per-node triangle counts over the undirected exact k-NN graph
+        # (wedge generation + composite-key closure semi join)
+        "emb_triangle_counts": lambda sf: E.emb_triangle_counts(sf),
         # relational capability (groupby/join/sort/window)
         "pricing_summary": R.pricing_summary,
         "top_customers": lambda sf: R.top_customers(sf),
@@ -406,6 +409,16 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "events_rolling_active_users": R.events_rolling_active_users,
         # hot-key exact COUNT DISTINCT via salted exchange
         "events_distinct_users_per_type": R.events_distinct_users_per_type,
+        # FULL OUTER fact-fact hash join over pre-aggregated sides
+        "user_order_event_totals": R.user_order_event_totals,
+        # TPC-H Q10-shaped: returned-item revenue per customer, top-20
+        "returned_item_revenue": lambda sf: R.returned_item_revenue(sf),
+        # TPC-H Q14-shaped: promo revenue share per ship-month
+        "promo_revenue_by_month": R.promo_revenue_by_month,
+        # TPC-H Q18-shaped: HAVING-filtered large-quantity orders + customer
+        "large_volume_orders": lambda sf: R.large_volume_orders(sf),
+        # ordered-window suite: running total + ROWS-frame moving average
+        "events_running_totals": lambda sf: R.events_running_totals(sf),
         # Misra–Gries heavy hitters (shuffle-free approximate top-token twin;
         # MG guarantee pytest-pinned vs exact counts — no SQL oracle)
         "doc_heavy_hitters": lambda sf: D.doc_heavy_hitters(sf),
@@ -1001,6 +1014,30 @@ def oracle_sql() -> dict[str, str]:
                                 b.vec_id) AS BIGINT) AS nn_rank
               FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
             WHERE nn_rank <= 5""",
+        # triangles over the undirected exact k-NN graph: per apex, count
+        # neighbor pairs that are themselves an edge
+        "emb_triangle_counts": """
+            WITH knn AS (
+              SELECT vec_id, nn_id FROM (
+                SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+                       CAST(row_number() OVER (
+                         PARTITION BY a.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                                    CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                                  b.vec_id) AS BIGINT) AS nn_rank
+                FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
+              WHERE nn_rank <= 5),
+            und AS (SELECT DISTINCT least(vec_id, nn_id) AS u,
+                                    greatest(vec_id, nn_id) AS v
+                    FROM knn),
+            sym AS (SELECT u AS apex, v AS nbr FROM und
+                    UNION ALL SELECT v, u FROM und)
+            SELECT s1.apex AS node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM sym s1
+            JOIN sym s2 ON s1.apex = s2.apex AND s1.nbr < s2.nbr
+            JOIN und e ON e.u = s1.nbr AND e.v = s2.nbr
+            GROUP BY s1.apex""",
         "emb_cosine_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -1718,6 +1755,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type""",
+        # FULL OUTER join of the two pre-aggregated sides; USING coalesces
+        # the key, absent sides zero-fill (the engine coalesces identically)
+        "user_order_event_totals": """
+            SELECT id,
+                   COALESCE(n_orders, 0) AS n_orders,
+                   COALESCE(n_events, 0) AS n_events
+            FROM (SELECT o_custkey AS id, CAST(count(*) AS BIGINT) AS n_orders
+                  FROM orders GROUP BY 1) o
+            FULL OUTER JOIN
+                 (SELECT user_id AS id, CAST(count(*) AS BIGINT) AS n_events
+                  FROM events GROUP BY 1) e
+            USING (id)""",
+        # Q10-lite: exact e4-cents revenue, deterministic (rev, custkey)
+        # tiebreak on the top-20 cut — mirrors the engine's driver merge
+        "returned_item_revenue": """
+            WITH rev AS (
+              SELECT o_custkey AS c_custkey,
+                     sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(round(l_discount*100) AS BIGINT))) AS rev_e4
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+              GROUP BY 1)
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   rev_e4 / 10000.0 AS revenue
+            FROM rev
+            JOIN customer c USING (c_custkey)
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            ORDER BY rev_e4 DESC, c.c_custkey
+            LIMIT 20""",
+        # Q14-lite: both sides divide the same exact integers, so the
+        # percentage doubles are bit-identical
+        "promo_revenue_by_month": """
+            WITH l AS (
+              SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT)
+                         AS month,
+                     CAST(round(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_e4,
+                     CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+              FROM lineitem JOIN part ON l_partkey = p_partkey)
+            SELECT month,
+                   100.0 * sum(CASE WHEN is_promo = 1 THEN rev_e4 ELSE 0 END)
+                         / sum(rev_e4) AS promo_pct
+            FROM l GROUP BY month ORDER BY month""",
+        # running/moving windows: exact int64 window sums divided identically
+        "events_running_totals": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS row_n,
+                   sum(CAST(round(value*100) AS BIGINT)) OVER w
+                     / 100.0 AS running_value,
+                   sum(CAST(round(value*100) AS BIGINT)) OVER w3
+                     / (100.0 * count(*) OVER w3) AS moving_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING),
+                   w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+        # Q18-lite: integer centiquantity HAVING, then the two equi joins
+        "large_volume_orders": """
+            WITH q AS (
+              SELECT l_orderkey AS o_orderkey,
+                     sum(CAST(round(l_quantity*100) AS BIGINT)) AS qty_c
+              FROM lineitem GROUP BY 1
+              HAVING sum(CAST(round(l_quantity*100) AS BIGINT)) > 30000)
+            SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, qty_c / 100.0 AS total_qty
+            FROM q
+            JOIN orders o USING (o_orderkey)
+            JOIN customer c ON o.o_custkey = c.c_custkey""",
         # same -Σ p·ln p per doc; zero-token docs never enter the unnest
         "doc_token_entropy": r"""
             WITH t AS (SELECT doc_id,

@@ -339,3 +339,16 @@ def emb_pagerank(sf_dir: str, k: int = 5, d: float = 0.85,
                         "pr": np.round(out["r"].to_numpy(np.float64), 6)})
     return pa.Table.from_pandas(res.sort_values("node").reset_index(drop=True),
                                 preserve_index=False)
+
+
+def emb_triangle_counts(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Per-node triangle counts over the UNDIRECTED exact k-NN graph
+    (graph-density / cluster-cohesion signal).  The k-NN edges are
+    normalized to distinct (min,max) pairs, wedges generate in one
+    apex-keyed exchange, and closure is one composite-key semi join
+    (stages/components.py::triangle_counts)."""
+    from ..stages.components import triangle_counts
+
+    edges = knn_graph_blockwise(_emb(sf_dir), k=k).map_batches(
+        lambda t: t.select(["vec_id", "nn_id"]), batch_format="pyarrow")
+    return triangle_counts(edges, u_col="vec_id", v_col="nn_id")

@@ -1209,3 +1209,243 @@ def events_distinct_users_per_type(sf_dir: str, salt_buckets: int = 64) -> pa.Ta
     out["n_users"] = out["n_users"].astype("int64")
     return pa.Table.from_pandas(out.sort_values("event_type").reset_index(drop=True),
                                 preserve_index=False)
+
+
+def user_order_event_totals(sf_dir: str) -> ray.data.Dataset:
+    """FULL OUTER hash join: per-customer order counts ⋈ per-user event
+    counts on the shared id space — ids that only ever ordered and ids that
+    only ever produced events both survive, zero-filled on the absent side.
+
+    Both inputs pre-aggregate per batch (the exchange moves (id, partial
+    count) rows, never facts), meet in ONE co-partitioned full-outer
+    hash_join (stages/joins.py), and a final vectorized coalesce restores
+    the int64 counts the null-padding promoted to float64."""
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import grouped_agg
+
+    def _counted(table: str, key: str, out: str) -> ray.data.Dataset:
+        ds = _read(sf_dir, table, [key])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            ids, cnt = np.unique(batch.column(key).to_numpy(), return_counts=True)
+            return pa.table({"id": pa.array(ids, pa.int64()),
+                             out: pa.array(cnt, pa.int64())})
+
+        return grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                           ["id"], {out: (out, "sum")})
+
+    joined = hash_join(_counted("orders", "o_custkey", "n_orders"),
+                       _counted("events", "user_id", "n_events"),
+                       on="id", how="full")
+
+    def coalesce(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "id": df["id"].astype("int64"),
+            "n_orders": df["n_orders"].fillna(0).astype("int64"),
+            "n_events": df["n_events"].fillna(0).astype("int64")})
+
+    return joined.map_batches(coalesce, batch_format="pandas")
+
+
+def returned_item_revenue(sf_dir: str, k: int = 20) -> pa.Table:
+    """TPC-H Q10-shaped: revenue lost to returned line items per customer,
+    top-k.  Lineitem filters returnflag='R' at the scan projection, pre-
+    aggregates exact e4-cents revenue per orderkey per batch, meets orders in
+    ONE co-partitioned hash join to re-key custkey, re-aggregates, joins the
+    customer payload co-partitioned, and finishes with the per-block local
+    top-k → tiny driver merge (nation names attach from a ray.put lookup)."""
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import grouped_agg
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    nation_ref = _ray.put(dict(zip(nat["n_nationkey"].astype(int),
+                                   nat["n_name"])))
+
+    lines = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount",
+                   "l_returnflag"])
+
+    def partial_rev(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        if batch.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "rev_e4": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            "l_orderkey": batch.column("l_orderkey").to_numpy(),
+            "rev_e4": _cents(batch.column("l_extendedprice"))
+                      * (100 - _cents(batch.column("l_discount")))})
+        g = df.groupby("l_orderkey", as_index=False)["rev_e4"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = grouped_agg(lines.map_batches(partial_rev, batch_format="pyarrow"),
+                      ["l_orderkey"], {"rev_e4": ("rev_e4", "sum")})
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    by_cust = hash_join(rev, orders, on="l_orderkey", right_on="o_orderkey",
+                        how="inner")
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c_custkey": batch.column("o_custkey").to_numpy().astype(np.int64),
+            "rev_e4": batch.column("rev_e4").to_numpy().astype(np.int64)})
+        g = df.groupby("c_custkey", as_index=False)["rev_e4"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cust_rev = grouped_agg(
+        by_cust.map_batches(cust_partial, batch_format="pyarrow"),
+        ["c_custkey"], {"rev_e4": ("rev_e4", "sum")})
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    joined = hash_join(cust_rev, cust, on="c_custkey", how="inner")
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["rev_e4", "c_custkey"],
+                              ascending=[False, True]).head(k)
+
+    parts = joined.map_batches(local_topk, batch_format="pandas").take_all()
+    if not parts:
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "c_name": pa.array([], pa.string()),
+                         "n_name": pa.array([], pa.string()),
+                         "revenue": pa.array([], pa.float64())})
+    top = pd.DataFrame(parts).sort_values(
+        ["rev_e4", "c_custkey"], ascending=[False, True]).head(k)
+    nation_of = _ray.get(nation_ref)
+    res = pd.DataFrame({
+        "c_custkey": top["c_custkey"].astype("int64"),
+        "c_name": top["c_name"],
+        "n_name": top["c_nationkey"].astype(int).map(nation_of),
+        "revenue": top["rev_e4"].astype("int64") / 10000.0})
+    return pa.Table.from_pandas(res.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def promo_revenue_by_month(sf_dir: str) -> pa.Table:
+    """TPC-H Q14-shaped: per ship-month percentage of revenue from PROMO
+    parts.  The promo partkey SET broadcasts once (``ray.put`` — part is the
+    dimension side); each lineitem batch emits ONE (month, promo_e4,
+    total_e4) partial row, a tiny month groupby sums them, and the ratio is
+    evaluated from the exact integers on the driver — the exchange never
+    moves line items."""
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"],
+                         filters=[("p_type", "=", "PROMO")])
+    promo_ref = _ray.put(part.column("p_partkey").combine_chunks())
+
+    lines = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("l_shipdate").to_pandas()
+        month = (ts.dt.year * 100 + ts.dt.month).to_numpy().astype(np.int64)
+        rev = (_cents(batch.column("l_extendedprice"))
+               * (100 - _cents(batch.column("l_discount"))))
+        promo = pc.is_in(batch.column("l_partkey"),
+                         value_set=_ray.get(promo_ref)).to_numpy(
+                             zero_copy_only=False)
+        df = pd.DataFrame({"month": month, "total_e4": rev,
+                           "promo_e4": np.where(promo, rev, 0)})
+        g = df.groupby("month", as_index=False)[["promo_e4", "total_e4"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = lines.map_batches(partial, batch_format="pyarrow") \
+        .groupby("month") \
+        .aggregate(Sum("promo_e4", alias_name="promo_e4"),
+                   Sum("total_e4", alias_name="total_e4")).to_pandas()
+    res = pd.DataFrame({
+        "month": agg["month"].astype("int64"),
+        "promo_pct": 100.0 * agg["promo_e4"].astype("int64").to_numpy()
+                     / agg["total_e4"].astype("int64").to_numpy()})
+    return pa.Table.from_pandas(res.sort_values("month").reset_index(drop=True),
+                                preserve_index=False)
+
+
+def large_volume_orders(sf_dir: str, min_qty: float = 300.0) -> ray.data.Dataset:
+    """TPC-H Q18-shaped: orders whose total line-item quantity exceeds
+    ``min_qty``, with the ordering customer's name.  The quantity aggregate
+    runs as exact integer centiquantities (pre-aggregated per batch before
+    ONE orderkey exchange), the HAVING filter drops non-qualifying orders
+    BEFORE any join traffic, and the two fact joins (orders, customer) are
+    co-partitioned hash joins over the tiny qualifying set."""
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import grouped_agg
+
+    thresh = int(round(min_qty * 100))
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderkey": batch.column("l_orderkey").to_numpy(),
+            "qty_c": _cents(batch.column("l_quantity"))})
+        g = df.groupby("o_orderkey", as_index=False)["qty_c"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    totals = grouped_agg(lines.map_batches(partial, batch_format="pyarrow"),
+                         ["o_orderkey"], {"qty_c": ("qty_c", "sum")})
+
+    def having(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("qty_c"), thresh))
+
+    qual = totals.map_batches(having, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    with_orders = hash_join(qual, orders, on="o_orderkey", how="inner")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = hash_join(with_orders, cust, on="o_custkey", right_on="c_custkey",
+                       how="inner")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_name": df["c_name"],
+            "o_custkey": df["o_custkey"].astype("int64"),
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_orderdate": df["o_orderdate"].astype("datetime64[us]"),
+            "o_totalprice": df["o_totalprice"].astype("float64"),
+            "total_qty": df["qty_c"].astype("int64") / 100.0})
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def events_running_totals(sf_dir: str, window_rows: int = 3) -> ray.data.Dataset:
+    """Per-user ordered-window suite in ONE user exchange: running total
+    (SUM OVER ROWS UNBOUNDED PRECEDING), a ``window_rows``-row moving
+    average, and the row number.  Cents discipline throughout — cumulative
+    sums run over exact int64 so the emitted doubles are bit-identical to
+    the SQL window (a double cumsum would drift from DuckDB's segment-tree
+    summation order).  The moving average divides the same exact window sum
+    by the same exact window count on both sides."""
+    from ..stages.shuffle import grouped_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "row_n": pd.Series([], dtype="int64"),
+                                 "running_value": pd.Series([], dtype="float64"),
+                                 "moving_avg": pd.Series([], dtype="float64")})
+        df = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        df["vc"] = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        g = df.groupby("user_id", sort=False)
+        cs = g["vc"].cumsum()
+        row_n = g.cumcount() + 1
+        lag = g["vc"].transform(
+            lambda s: s.cumsum().shift(window_rows, fill_value=0))
+        win_sum = cs.to_numpy() - lag.to_numpy()
+        win_n = np.minimum(row_n.to_numpy(), window_rows)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "row_n": row_n.to_numpy().astype(np.int64),
+            "running_value": cs.to_numpy() / 100.0,
+            "moving_avg": win_sum / (100.0 * win_n)})
+
+    return grouped_apply(ds, ["user_id"], windows)

@@ -234,12 +234,13 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
 
     Same machinery as the temporal joins above: tag sides, harmonize schemas,
     union, ONE coarse hash-partitioning shuffle on the key, vectorized pandas
-    merge per partition.  "semi"/"anti" return left rows (filtered), "inner"
-    and "left" return left+right columns ("left" null-pads unmatched rows and
-    keeps right integer columns float64 — coalesce + cast downstream); non-key
-    column names must not collide.
+    merge per partition.  "semi"/"anti" return left rows (filtered); "inner",
+    "left", "right" and "full" return left+right columns (outer variants
+    null-pad unmatched rows and keep the padded side's integer columns
+    float64 — coalesce + cast downstream); non-key column names must not
+    collide.
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "right", "full", "semi", "anti"):
         raise ValueError(f"hash_join: unsupported how={how!r}")
     # a fully-empty upstream (e.g. a grouped aggregate over zero rows) has no
     # schema at all — or an empty zero-column block schema; resolve such joins
@@ -249,14 +250,24 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     left, right = _as_arrow(left), _as_arrow(right)
     ls_raw, rs_raw = left.schema(), right.schema()
     if ls_raw is None or not ls_raw.names:
+        if how in ("right", "full") and rs_raw is not None and rs_raw.names:
+            # all-right-rows result; only the key rename can be applied (there
+            # is no left schema to pad)
+            key_src, key_dst = right_on or on, on
+
+            def _rekey(batch: pa.Table) -> pa.Table:
+                return batch.rename_columns(
+                    [key_dst if n == key_src else n for n in batch.column_names])
+
+            return right.map_batches(_rekey, batch_format="pyarrow")
         return left
     if on not in ls_raw.names:
         raise ValueError(f"hash_join: key {on!r} not in left schema "
                          f"{list(ls_raw.names)}")
     if rs_raw is None or not rs_raw.names:
-        # degenerate empty right side: anti/left keep every left row (for
-        # "left" the right columns are omitted — there is no schema to pad)
-        return left if how in ("anti", "left") else left.limit(0)
+        # degenerate empty right side: anti/left/full keep every left row (the
+        # right columns are omitted — there is no schema to pad)
+        return left if how in ("anti", "left", "full") else left.limit(0)
     if (right_on or on) not in rs_raw.names:
         raise ValueError(f"hash_join: key {right_on or on!r} not in right "
                          f"schema {list(rs_raw.names)}")
@@ -285,17 +296,24 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     for n, t in zip(rs.names, rs.types):
         if n in right_cols and pa.types.is_integer(t):
             right_int[n] = t.to_pandas_dtype()
-    if how == "left":
+    if how in ("left", "full"):
         # unmatched left rows null-pad the right columns, so right ints must
         # STAY float64 (the union already promoted them) or block dtypes
         # would flip int/float per partition; callers coalesce + re-cast
         right_int = {}
+    if how in ("right", "full"):
+        # symmetric: unmatched right rows null-pad the left columns — but the
+        # key itself is filled from whichever side matched, so it keeps its
+        # exact dtype
+        left_int = {k: v for k, v in left_int.items() if k == on}
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df[_SIDE] == 0][left_cols].astype(left_int)
         r = df[df[_SIDE] == 1][[on] + right_cols].astype(right_int)
-        if how in ("inner", "left"):
+        if how in ("inner", "left", "right"):
             return l.merge(r, on=on, how=how)
+        if how == "full":
+            return l.merge(r, on=on, how="outer")
         keep = l[on].isin(r[on].unique())
         return l[keep if how == "semi" else ~keep]
 

@@ -207,6 +207,29 @@ class TestHashJoin:
         anti = hash_join(l, r, on="k", right_on="rk", how="anti").to_pandas()
         assert sorted(anti["k"]) == [1, 3]
 
+    def test_full_and_right(self):
+        from post_ocr_corrector_ray.stages.joins import hash_join
+
+        l, r = self._sides()
+        full = hash_join(l, r, on="k", right_on="rk", how="full") \
+            .to_pandas().sort_values(["k", "rv"]).reset_index(drop=True)
+        # matched 2,2,4 + left-only 1,3 + right-only 9
+        assert sorted(full["k"].astype(int)) == [1, 2, 2, 3, 4, 9]
+        only_r = full[full["k"] == 9]
+        assert only_r["lv"].isna().all() and only_r["rv"].tolist() == [90.0]
+        only_l = full[full["k"].isin([1, 3])]
+        assert only_l["rv"].isna().all()
+        l, r = self._sides()
+        right = hash_join(l, r, on="k", right_on="rk", how="right") \
+            .to_pandas().sort_values(["k", "rv"]).reset_index(drop=True)
+        assert sorted(right["k"].astype(int)) == [2, 2, 4, 9]
+        assert right[right["k"] == 9]["lv"].isna().all()
+        # empty right: full keeps every left row
+        l, r = self._sides()
+        empty = r.filter(lambda row: False)
+        kept = hash_join(l, empty, on="k", right_on="rk", how="full").to_pandas()
+        assert sorted(kept["k"]) == [1, 2, 3, 4]
+
     def test_collision_refused(self):
         import ray.data
 
