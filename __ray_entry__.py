@@ -289,6 +289,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # per-node triangle counts over the undirected exact k-NN graph
         # (wedge generation + composite-key closure semi join)
         "emb_triangle_counts": lambda sf: E.emb_triangle_counts(sf),
+        # distributed Lloyd k-means (streaming assignment passes, exact
+        # int64 partial sums; n_iter-level generated SQL twin)
+        "emb_kmeans": lambda sf: E.emb_kmeans(sf),
         # relational capability (groupby/join/sort/window)
         "pricing_summary": R.pricing_summary,
         "top_customers": lambda sf: R.top_customers(sf),
@@ -494,6 +497,79 @@ def _oracle_centroids(n_clusters: int = 16):
     sample = np.array(t.column("embedding").take(
         np.nonzero(keep)[0]).to_pylist(), dtype=np.float64)[order]
     return kmeans_fit(sample, n_clusters, seed=42), t, ids
+
+
+def _oracle_kmeans_init(n_clusters: int = 8):
+    """The engine's deterministic k-means INIT (id-hash sample + seeded
+    choice, NO Lloyd), re-derived outside Ray for the k-means oracle."""
+    import pyarrow.parquet as pq
+
+    from post_ocr_corrector_ray.functions.hashing import hash_u64_array
+
+    t = pq.read_table(f"{_ORACLE_SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    frac = min(1.0, 4096 / max(len(ids), 1))
+    keep = (np.ones(len(ids), dtype=bool) if frac >= 1.0
+            else hash_u64_array(ids.astype(np.uint64), seed=7)
+            < np.uint64(int(frac * float(2 ** 64))))
+    order = np.argsort(ids[keep])
+    sample = np.array(t.column("embedding").take(
+        np.nonzero(keep)[0]).to_pylist(), dtype=np.float64)[order]
+    rng = np.random.default_rng(42)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)),
+                     replace=False)
+    return sample[np.sort(idx)].copy()
+
+
+def _kmeans_oracle_sql(n_clusters: int = 8, n_iter: int = 3,
+                       scale: int = 10**6) -> str:
+    """SQL twin of ``emb_kmeans``: the engine's deterministic init inlined
+    long-format, then ``n_iter`` Lloyd levels generated as chained CTEs —
+    assignment = row_number over per-(vec, cluster) squared distance (ties →
+    smaller cluster id), update = exact BIGINT coordinate sums divided by the
+    same integers the engine divides (floor(x*scale+0.5) on BOTH sides, so
+    the int64 coordinates are bit-equal by construction); empty clusters
+    carry the previous centroid.  n_members reports the FINAL assignment."""
+    init = _oracle_kmeans_init(n_clusters)
+    k, dim = init.shape
+    vals = ", ".join(f"({c}, {d}, {repr(float(init[c, d]))})"
+                     for c in range(k) for d in range(dim))
+    parts = [f"""
+        WITH x AS (
+          SELECT vec_id,
+                 CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS dim,
+                 unnest(v) AS x,
+                 CAST(floor(unnest(v) * {scale} + 0.5) AS BIGINT) AS xi
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings)),
+        c0(cid, dim, c) AS (VALUES {vals})"""]
+    for i in range(1, n_iter + 1):
+        p, q = i - 1, i
+        parts.append(f"""
+        d{q} AS (SELECT x.vec_id, c{p}.cid,
+                        sum((x.x - c{p}.c) * (x.x - c{p}.c)) AS d2
+                 FROM x JOIN c{p} USING (dim) GROUP BY 1, 2),
+        a{q} AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, cid) AS rn
+                   FROM d{q}) WHERE rn = 1),
+        n{q} AS (SELECT cid, CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+                 FROM a{q} GROUP BY cid),
+        c{q} AS (SELECT a.cid, x.dim,
+                        sum(x.xi) / ({scale}.0 * count(*)) AS c
+                 FROM x JOIN a{q} a USING (vec_id) GROUP BY 1, 2
+                 UNION ALL
+                 SELECT cid, dim, c FROM c{p}
+                 WHERE cid NOT IN (SELECT cid FROM n{q}))""")
+    final = f"""
+        SELECT c{n_iter}.cid AS cluster,
+               COALESCE(n{n_iter}.n, 0) AS n_members,
+               c{n_iter}.dim AS dim,
+               round(c{n_iter}.c, 6) AS centroid
+        FROM c{n_iter} LEFT JOIN n{n_iter} USING (cid)"""
+    return ",".join(parts) + final
 
 
 def _ivf_oracle_sql(n_clusters: int = 16, n_probe: int = 4, k: int = 10) -> str:
@@ -1854,4 +1930,5 @@ def oracle_sql() -> dict[str, str]:
         out["emb_nn_join_bucketed"] = _ivf_knn_oracle_sql(k=1, with_rank=False)
         out["emb_dedup_bucketed"] = _ivf_dedup_oracle_sql()
         out["emb_pagerank_bucketed"] = _ivf_pagerank_oracle_sql()
+        out["emb_kmeans"] = _kmeans_oracle_sql()
     return out

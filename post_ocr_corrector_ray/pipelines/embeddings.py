@@ -352,3 +352,19 @@ def emb_triangle_counts(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     edges = knn_graph_blockwise(_emb(sf_dir), k=k).map_batches(
         lambda t: t.select(["vec_id", "nn_id"]), batch_format="pyarrow")
     return triangle_counts(edges, u_col="vec_id", v_col="nn_id")
+
+
+def emb_kmeans(sf_dir: str, n_clusters: int = 8, n_iter: int = 3) -> pa.Table:
+    """Distributed Lloyd k-means over the full embedding table — the classic
+    iterative-dataflow algorithm: per iteration ONE streaming assignment
+    pass emits tiny per-block (cluster, count, Σ int-scaled vec) partials;
+    the driver folds them into the next broadcast centroids
+    (stages/embed.py::kmeans_lloyd_distributed).  Long-format output
+    (cluster, n_members, dim, centroid) is hash-verified against a
+    programmatically generated n_iter-level SQL twin with the engine's own
+    deterministic init inlined."""
+    from ..stages.embed import kmeans_lloyd_distributed
+
+    return kmeans_lloyd_distributed(_emb(sf_dir), n_clusters=n_clusters,
+                                    n_iter=n_iter,
+                                    approx_count=_emb_count(sf_dir))

@@ -650,3 +650,86 @@ def ann_topk_lsh(ds: ray.data.Dataset, query: np.ndarray, *, k: int = 10,
     rows = sorted(parts, key=lambda r: (-r["sim"], r[id_col]))[:k]
     return pa.Table.from_pylist(rows) if rows else pa.table(
         {id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+
+
+def kmeans_lloyd_distributed(ds: ray.data.Dataset, *, n_clusters: int = 8,
+                             n_iter: int = 3, seed: int = 42,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             approx_count: int | None = None,
+                             scale: int = 10**6) -> pa.Table:
+    """Distributed Lloyd k-means over the FULL dataset: every iteration is
+    one streaming pass — centroids broadcast via ``ray.put``, each batch
+    emits one (cluster, count, Σvec) partial row per non-empty cluster, and
+    the driver folds the tiny per-block partials into the next centroids.
+    The corpus itself never materializes; per-iteration driver traffic is
+    O(blocks × k × dim).
+
+    Determinism/parity discipline: vector sums accumulate as EXACT int64
+    (coordinates scaled by ``scale`` and rounded — the synthetic embeddings
+    are float32, ~7 significant digits), so the folded centroid doubles are
+    independent of block order and bit-identical to the SQL oracle's
+    BIGINT-sum expression.  Init matches ``kmeans_fit``'s seeded choice over
+    the deterministic id-hash sample.  Empty clusters keep their previous
+    centroid (and report n_members = 0 from the final assignment).
+
+    Returns the long-format result: (cluster, n_members, dim, centroid).
+    """
+    import ray as _ray
+
+    sample = train_quantizer_sample(ds, target=4096, vec_col=vec_col,
+                                    id_col=id_col, seed=7,
+                                    approx_count=approx_count)
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)),
+                     replace=False)
+    cents = sample[np.sort(idx)].copy()
+    k, dim = cents.shape
+    counts = np.zeros(k, dtype=np.int64)
+
+    for _ in range(n_iter):
+        ref = _ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            m = _to_matrix(batch.column(vec_col))
+            c = _ray.get(ref)
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            # floor(x+0.5), NOT np.round: np.round is half-to-even while SQL
+            # round() is half-away — floor(+0.5) is computable identically on
+            # both sides, making the int64 coordinates bit-equal by construction
+            vi = np.floor(m * scale + 0.5).astype(np.int64)
+            used = np.unique(a)
+            sums = np.zeros((len(used), m.shape[1]), dtype=np.int64)
+            n = np.zeros(len(used), dtype=np.int64)
+            for j, cl in enumerate(used):          # ≤ k rows, vector math inside
+                mask = a == cl
+                sums[j] = vi[mask].sum(axis=0)
+                n[j] = int(mask.sum())
+            cols = {"cluster": pa.array(used.astype(np.int64), pa.int64()),
+                    "n": pa.array(n, pa.int64())}
+            for d in range(m.shape[1]):
+                cols[f"s{d}"] = pa.array(sums[:, d], pa.int64())
+            return pa.table(cols)
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for row in parts:
+            cl = int(row["cluster"])
+            counts[cl] += int(row["n"])
+            for d in range(dim):
+                sums[cl, d] += int(row[f"s{d}"])
+        nonempty = counts > 0
+        cents = cents.copy()
+        cents[nonempty] = (sums[nonempty]
+                           / (float(scale) * counts[nonempty, None]))
+
+    out_cl = np.repeat(np.arange(k, dtype=np.int64), dim)
+    out_n = np.repeat(counts, dim)
+    out_dim = np.tile(np.arange(dim, dtype=np.int64), k)
+    return pa.table({"cluster": pa.array(out_cl, pa.int64()),
+                     "n_members": pa.array(out_n, pa.int64()),
+                     "dim": pa.array(out_dim, pa.int64()),
+                     "centroid": pa.array(np.round(cents.ravel(), 6),
+                                          pa.float64())})

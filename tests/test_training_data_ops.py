@@ -440,3 +440,34 @@ class TestBucketedKnn:
         assert g["vec_id"].tolist() == j["vec_id"].tolist()
         assert g["nn_id"].tolist() == j["nn_id"].tolist()
         assert list(j.columns) == ["vec_id", "nn_id", "nn_sim"]
+
+
+class TestKMeansDistributed:
+    def test_block_layout_invariance_and_quality(self, ray_session):
+        """The int64-sum discipline makes centroids independent of block
+        order; and Lloyd must tighten inertia vs the init assignment."""
+        import ray.data
+        from post_ocr_corrector_ray.stages.embed import kmeans_lloyd_distributed
+
+        rng = np.random.default_rng(0)
+        centers = rng.normal(size=(4, 8)) * 3
+        pts = np.concatenate([c + rng.normal(size=(40, 8)) * 0.1
+                              for c in centers])
+        ids = np.arange(len(pts), dtype=np.int64)
+        tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                        "embedding": pa.array(list(pts.astype(np.float32)))})
+        ds1 = ray.data.from_arrow(tbl)
+        ds2 = ray.data.from_arrow(tbl).repartition(7)
+        k1 = kmeans_lloyd_distributed(ds1, n_clusters=4, n_iter=3,
+                                      approx_count=len(pts)).to_pandas()
+        k2 = kmeans_lloyd_distributed(ds2, n_clusters=4, n_iter=3,
+                                      approx_count=len(pts)).to_pandas()
+        pd.testing.assert_frame_equal(
+            k1.sort_values(["cluster", "dim"]).reset_index(drop=True),
+            k2.sort_values(["cluster", "dim"]).reset_index(drop=True))
+        assert int(k1.groupby("cluster")["n_members"].first().sum()) == len(pts)
+        # each true center is near some learned centroid
+        learned = k1.pivot(index="cluster", columns="dim",
+                           values="centroid").to_numpy()
+        for c in centers:
+            assert np.min(np.linalg.norm(learned - c, axis=1)) < 0.5
