@@ -340,6 +340,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "doc_contamination_joined": lambda sf: D.doc_contamination_joined(sf),
         "doc_token_familiarity": lambda sf: D.doc_token_familiarity(sf),
         "doc_lang_weights": lambda sf: D.doc_lang_weights(sf),
+        # materialized temperature mix: deterministic md5 residual coin,
+        # flat-map repeat expansion
+        "doc_mix_materialize": lambda sf: D.doc_mix_materialize(sf),
         # cross-document exact span dedup (C4 / Lee et al. 2022 family):
         # gram-keyed removal exchange + doc-keyed rebuild — stages/spandedup.py
         "doc_span_dedup": lambda sf: D.doc_span_dedup(sf),
@@ -497,6 +500,39 @@ def _oracle_centroids(n_clusters: int = 16):
     sample = np.array(t.column("embedding").take(
         np.nonzero(keep)[0]).to_pylist(), dtype=np.float64)[order]
     return kmeans_fit(sample, n_clusters, seed=42), t, ids
+
+
+def _mix_oracle_sql(alpha: float = 0.5) -> str:
+    """SQL twin of ``doc_mix_materialize``: per-language (⌊r⌋, 48-bit
+    residual threshold) re-derived outside Ray from the fixture's language
+    counts and inlined; the md5 residual coin and the range() expansion run
+    in SQL.  Hex compare == integer compare (fixed-width lowercase md5)."""
+    import pyarrow.parquet as pq
+
+    from post_ocr_corrector_ray.stages.corpusprep import temperature_weights
+
+    t = pq.read_table(f"{_ORACLE_SF_DIR}/documents.parquet", columns=["lang"])
+    vc = t.column("lang").value_counts()
+    merged = dict(zip(vc.field("values").to_pylist(),
+                      (int(x) for x in vc.field("counts").to_pylist())))
+    n_total = sum(merged.values())
+    w = temperature_weights(merged, alpha=alpha)
+    rows = []
+    for lang in sorted(merged):
+        r = round(w[lang] / merged[lang], 6) * n_total
+        base = int(np.floor(r))
+        thr = int(np.floor((r - base) * float(16**12)))
+        rows.append(f"('{lang}', {base}, '{thr:012x}')")
+    vals = ", ".join(rows)
+    return f"""
+        WITH m(lang, base, thr) AS (VALUES {vals})
+        SELECT d.doc_id, d.lang,
+               CAST(unnest(range(1,
+                 m.base
+                 + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'),
+                                    1, 12) < m.thr
+                        THEN 1 ELSE 0 END + 1)) AS BIGINT) AS copy_id
+        FROM documents d JOIN m USING (lang)"""
 
 
 def _oracle_kmeans_init(n_clusters: int = 8):
@@ -1931,4 +1967,6 @@ def oracle_sql() -> dict[str, str]:
         out["emb_dedup_bucketed"] = _ivf_dedup_oracle_sql()
         out["emb_pagerank_bucketed"] = _ivf_pagerank_oracle_sql()
         out["emb_kmeans"] = _kmeans_oracle_sql()
+    if os.path.exists(f"{_ORACLE_SF_DIR}/documents.parquet"):
+        out["doc_mix_materialize"] = _mix_oracle_sql()
     return out

@@ -1120,3 +1120,59 @@ def doc_token_entropy(sf_dir: str) -> ray.data.Dataset:
                          "entropy": pa.array(np.round(h, 6), pa.float64())})
 
     return ds.map_batches(entropy, batch_format="pyarrow")
+
+
+def doc_mix_materialize(sf_dir: str, alpha: float = 0.5) -> ray.data.Dataset:
+    """MATERIALIZED temperature mix: each document is emitted ``r`` times,
+    where r = per-doc weight (doc_lang_weights' round-6 discipline) × corpus
+    size — upsampled rare languages repeat ⌊r⌋ or ⌈r⌉ times, downsampled
+    common ones keep a ⌊r⌋=0 + Bernoulli(frac) residual.  The residual coin
+    is a DETERMINISTIC md5 of the doc id (reproducible across runs, block
+    layouts and cluster sizes — never seeded RNG), compared against a per-
+    group threshold as a 48-bit integer; the SQL twin compares the same md5
+    prefix against the same threshold rendered in hex.  Flat-map shape: no
+    shuffle, output ~N rows regardless of the mix."""
+    import hashlib
+
+    from ..stages.corpusprep import temperature_weights
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column("lang").value_counts()
+        return pa.table({"lang": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    merged: dict[str, int] = {}
+    for b in docs.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for lang, cnt in zip(b.column("lang").to_pylist(),
+                             b.column("n").to_pylist()):
+            merged[lang] = merged.get(lang, 0) + cnt
+    n_total = sum(merged.values())
+    w = temperature_weights(merged, alpha=alpha)
+    langs = sorted(merged)
+    # r from the 6-dp per-doc weight (bit-reproducible in SQL); threshold is
+    # the 48-bit integer floor(frac(r) * 16^12)
+    r = np.array([round(w[lang] / merged[lang], 6) for lang in langs]) * n_total
+    base_arr = np.floor(r).astype(np.int64)
+    thr_arr = np.floor((r - base_arr) * float(16**12)).astype(np.int64)
+    lang_vals = pa.array(langs, pa.string())
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        idx = pc.index_in(batch.column("lang"), value_set=lang_vals) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        pref = np.array([int(hashlib.md5(f"{i}:mix".encode()).hexdigest()[:12],
+                             16) for i in ids], dtype=np.int64)
+        n = base_arr[idx] + (pref < thr_arr[idx])
+        rep = np.repeat(np.arange(len(ids)), n)
+        ends = np.cumsum(n)
+        copy_id = np.arange(int(ends[-1]) if len(ends) else 0) \
+            - np.repeat(ends - n, n) + 1
+        return pa.table({
+            "doc_id": pa.array(ids[rep], pa.int64()),
+            "lang": batch.column("lang").take(pa.array(rep)),
+            "copy_id": pa.array(copy_id, pa.int64())})
+
+    return docs.map_batches(expand, batch_format="pyarrow")
