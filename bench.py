@@ -119,6 +119,11 @@ def run_benchmarks() -> dict:
         "events_distinct_users_per_type", "doc_heavy_hitters",
         "doc_token_entropy",
         "events_rolling_active_users",
+        "events_rolling_active_users_hll", "events_value_quantiles_sketch",
+        "user_order_event_totals", "returned_item_revenue",
+        "promo_revenue_by_month", "large_volume_orders",
+        "events_running_totals", "emb_triangle_counts", "emb_kmeans",
+        "doc_mix_materialize",
     ]
     # Each query is timed as the best of two consecutive runs: the first
     # execution in a session pays Ray worker-pool spin-up and parquet
