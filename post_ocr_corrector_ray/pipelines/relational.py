@@ -1266,12 +1266,16 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> pa.Table:
     nation_ref = _ray.put(dict(zip(nat["n_nationkey"].astype(int),
                                    nat["n_name"])))
 
-    lines = _read(sf_dir, "lineitem",
-                  ["l_orderkey", "l_extendedprice", "l_discount",
-                   "l_returnflag"])
+    # returnflag predicate pushed INTO the scan: only 'R' row groups/rows
+    # leave storage (~1/3 of lineitem), never the full table
+    import pyarrow.dataset as pads
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R")
 
     def partial_rev(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
         if batch.num_rows == 0:
             return pa.table({"l_orderkey": pa.array([], pa.int64()),
                              "rev_e4": pa.array([], pa.int64())})
@@ -1282,8 +1286,10 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> pa.Table:
         g = df.groupby("l_orderkey", as_index=False)["rev_e4"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    rev = grouped_agg(lines.map_batches(partial_rev, batch_format="pyarrow"),
-                      ["l_orderkey"], {"rev_e4": ("rev_e4", "sum")})
+    # NO orderkey pre-exchange: the join itself co-partitions, and the
+    # custkey aggregate below sums partials exactly — one full 600k-key
+    # exchange saved (sum is associative over the per-batch partial rows)
+    rev = lines.map_batches(partial_rev, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     by_cust = hash_join(rev, orders, on="l_orderkey", right_on="o_orderkey",
                         how="inner")
@@ -1298,14 +1304,15 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> pa.Table:
     cust_rev = grouped_agg(
         by_cust.map_batches(cust_partial, batch_format="pyarrow"),
         ["c_custkey"], {"rev_e4": ("rev_e4", "sum")})
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
-    joined = hash_join(cust_rev, cust, on="c_custkey", how="inner")
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["rev_e4", "c_custkey"],
                               ascending=[False, True]).head(k)
 
-    parts = joined.map_batches(local_topk, batch_format="pandas").take_all()
+    # top-k BEFORE the customer payload: display columns attach for only the
+    # k winners via a key-pruned point read — the full customer table never
+    # enters an exchange
+    parts = cust_rev.map_batches(local_topk, batch_format="pandas").take_all()
     if not parts:
         return pa.table({"c_custkey": pa.array([], pa.int64()),
                          "c_name": pa.array([], pa.string()),
@@ -1313,6 +1320,12 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> pa.Table:
                          "revenue": pa.array([], pa.float64())})
     top = pd.DataFrame(parts).sort_values(
         ["rev_e4", "c_custkey"], ascending=[False, True]).head(k)
+    winners = top["c_custkey"].astype("int64").tolist()
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=[("c_custkey", "in", winners)]).to_pandas()
+    top = top.merge(cust, on="c_custkey", how="left")
     nation_of = _ray.get(nation_ref)
     res = pd.DataFrame({
         "c_custkey": top["c_custkey"].astype("int64"),
