@@ -308,6 +308,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": D.doc_length_quantiles,
         "doc_stratified_sample": D.doc_stratified_sample,
         "lineitem_order_priority": R.lineitem_order_priority,
+        # skew-resistant salted twin (identical result set, shares the oracle)
+        "lineitem_order_priority_salted": lambda sf:
+            R.lineitem_order_priority_salted(sf),
         "customers_without_events": R.customers_without_events,
         # TPC-H Q3 shape: broadcast dim filter + fact-fact join + topk
         "shipping_priority": lambda sf: R.shipping_priority(sf),
@@ -1959,6 +1962,9 @@ def oracle_sql() -> dict[str, str]:
     # string twin (hash keys only change the EXCHANGE representation), so it
     # shares the twin's oracle verbatim
     out["doc_span_dedup_hashed"] = out["doc_span_dedup"]
+    # the salt spreads partitioning only — the joined SET is identical, so
+    # the skew-resistant twin shares the plain join's oracle verbatim
+    out["lineitem_order_priority_salted"] = out["lineitem_order_priority"]
     if os.path.exists(f"{_ORACLE_SF_DIR}/embeddings.parquet"):
         out["emb_ann_topk_ivf"] = _ivf_oracle_sql()
         out["emb_cosine_dups_bucketed"] = _ivf_pairs_oracle_sql()

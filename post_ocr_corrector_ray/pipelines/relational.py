@@ -1384,10 +1384,12 @@ def large_volume_orders(sf_dir: str, min_qty: float = 300.0) -> ray.data.Dataset
     """TPC-H Q18-shaped: orders whose total line-item quantity exceeds
     ``min_qty``, with the ordering customer's name.  The quantity aggregate
     runs as exact integer centiquantities (pre-aggregated per batch before
-    ONE orderkey exchange), the HAVING filter drops non-qualifying orders
-    BEFORE any join traffic, and the two fact joins (orders, customer) are
-    co-partitioned hash joins over the tiny qualifying set."""
-    from ..stages.joins import hash_join
+    ONE orderkey exchange); the HAVING filter's output is small by design
+    (its selectivity is the query's point), so the qualifying keys broadcast
+    (``ray.put``) and orders filter against them at the scan — the semi-join
+    pushdown — while customer names attach via a key-pruned point read.  An
+    UNselective threshold would flip the tail back to the co-partitioned
+    ``hash_join`` the engine also provides."""
     from ..stages.shuffle import grouped_agg
 
     thresh = int(round(min_qty * 100))
@@ -1406,24 +1408,50 @@ def large_volume_orders(sf_dir: str, min_qty: float = 300.0) -> ray.data.Dataset
     def having(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater(batch.column("qty_c"), thresh))
 
-    qual = totals.map_batches(having, batch_format="pyarrow")
+    # HAVING output is small BY DESIGN (selectivity is the query's point, and
+    # the threshold governs it), so the qualifying keys broadcast and the
+    # orders scan filters against them — the semi-join pushdown that replaces
+    # two fact exchanges; the customer payload attaches via a key-pruned
+    # point read of only the qualifying custkeys
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    qual = totals.map_batches(having, batch_format="pyarrow").to_pandas()
+    if qual.empty:
+        return ray.data.from_arrow(pa.table({
+            "c_name": pa.array([], pa.string()),
+            "o_custkey": pa.array([], pa.int64()),
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "o_totalprice": pa.array([], pa.float64()),
+            "total_qty": pa.array([], pa.float64())}))
+    keys_ref = _ray.put(pa.array(qual["o_orderkey"].astype("int64"),
+                                 pa.int64()))
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
-    with_orders = hash_join(qual, orders, on="o_orderkey", how="inner")
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    joined = hash_join(with_orders, cust, on="o_custkey", right_on="c_custkey",
-                       how="inner")
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "c_name": df["c_name"],
-            "o_custkey": df["o_custkey"].astype("int64"),
-            "o_orderkey": df["o_orderkey"].astype("int64"),
-            "o_orderdate": df["o_orderdate"].astype("datetime64[us]"),
-            "o_totalprice": df["o_totalprice"].astype("float64"),
-            "total_qty": df["qty_c"].astype("int64") / 100.0})
+    def filter_orders(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("o_orderkey"),
+                                     value_set=_ray.get(keys_ref)))
 
-    return joined.map_batches(finish, batch_format="pandas")
+    matched = orders.map_batches(filter_orders,
+                                 batch_format="pyarrow").to_pandas()
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"],
+        filters=[("c_custkey", "in",
+                  matched["o_custkey"].astype("int64").unique().tolist())]) \
+        .to_pandas()
+    df = matched.merge(qual, on="o_orderkey") \
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out = pd.DataFrame({
+        "c_name": df["c_name"],
+        "o_custkey": df["o_custkey"].astype("int64"),
+        "o_orderkey": df["o_orderkey"].astype("int64"),
+        "o_orderdate": df["o_orderdate"].astype("datetime64[us]"),
+        "o_totalprice": df["o_totalprice"].astype("float64"),
+        "total_qty": df["qty_c"].astype("int64") / 100.0})
+    return ray.data.from_pandas(out)
 
 
 def events_running_totals(sf_dir: str, window_rows: int = 3) -> ray.data.Dataset:
@@ -1462,3 +1490,17 @@ def events_running_totals(sf_dir: str, window_rows: int = 3) -> ray.data.Dataset
             "moving_avg": win_sum / (100.0 * win_n)})
 
     return grouped_apply(ds, ["user_id"], windows)
+
+
+def lineitem_order_priority_salted(sf_dir: str,
+                                   salt_buckets: int = 8) -> ray.data.Dataset:
+    """Skew-resistant twin of ``lineitem_order_priority``: the same
+    fact-fact inner join through ``salted_inner_join`` — identical result
+    set (shares the plain join's SQL oracle), exchange spread over
+    (key, salt) so a hot orderkey cannot funnel one reduce task."""
+    from ..stages.joins import salted_inner_join
+
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    return salted_inner_join(lines, orders, on="l_orderkey",
+                             right_on="o_orderkey", salt_buckets=salt_buckets)

@@ -318,3 +318,66 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         return l[keep if how == "semi" else ~keep]
 
     return grouped_apply(both, [on], merge, num_partitions=num_partitions)
+
+
+def salted_inner_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                      on: str, right_on: str | None = None,
+                      salt_buckets: int = 16,
+                      num_partitions: int = DEFAULT_PARTITIONS
+                      ) -> ray.data.Dataset:
+    """Skew-resistant inner equi join: a HOT left key no longer funnels into
+    one reduce task — left rows spread across ``salt_buckets`` sub-keys (a
+    per-batch row-position salt: placement is layout-dependent, the joined
+    SET is not), the right side replicates each row to every salt, and the
+    exchange co-partitions on (key, salt).  Cost model: right-side traffic
+    × salt_buckets buys a salt_buckets× reduction in the hottest task's
+    share of the left — the standard trade for power-law fact-fact joins
+    (use plain ``hash_join`` when neither side is skewed).
+
+    Same column contract as ``hash_join(how="inner")``: non-key names must
+    not collide; output = left columns + renamed right columns.
+    """
+    left, right = _as_arrow(left), _as_arrow(right)
+    renames = {right_on or on: on}
+    clash = (set(left.schema().names)
+             & {renames.get(n, n) for n in right.schema().names}) - {on}
+    if clash:
+        raise ValueError(f"salted_inner_join: column name collision "
+                         f"{sorted(clash)}; rename before joining")
+    S = int(salt_buckets)
+
+    def salt_left(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_salt", pa.array(np.arange(batch.num_rows, dtype=np.int64) % S))
+
+    def replicate_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), S))
+        rep = batch.take(idx)
+        return rep.append_column(
+            "_salt", pa.array(np.tile(np.arange(S, dtype=np.int64), n)))
+
+    both, left_cols, right_cols = _union_tagged(
+        left.map_batches(salt_left, batch_format="pyarrow"),
+        right.map_batches(replicate_right, batch_format="pyarrow"),
+        renames)
+    left_int = {n: t.to_pandas_dtype() for n, t in
+                zip(left.schema().names, left.schema().types)
+                if pa.types.is_integer(t)}
+    rs = _renamed_schema(right, renames)
+    right_int = {n: t.to_pandas_dtype() for n, t in zip(rs.names, rs.types)
+                 if n in right_cols and pa.types.is_integer(t)}
+    out_right = [c for c in right_cols if c != "_salt"]
+    payload_left = [c for c in left_cols if c != "_salt"]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # a coarse partition holds MANY (key, salt) groups — merging on the
+        # key alone would cross-match salts and duplicate pairs, so the salt
+        # is part of the merge key and dropped after
+        l = df[df[_SIDE] == 0][payload_left + ["_salt"]].astype(left_int)
+        r = df[df[_SIDE] == 1][[on, "_salt"] + out_right].astype(right_int)
+        return l.merge(r, on=[on, "_salt"], how="inner") \
+            .drop(columns=["_salt"])
+
+    return grouped_apply(both, [on, "_salt"], merge,
+                         num_partitions=num_partitions)

@@ -445,3 +445,34 @@ class TestKllSketch:
         empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
         out = sketch_quantiles(empty, "v", [0.5]).to_pandas()
         assert np.isnan(out["value"].iloc[0])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSaltedJoin:
+    def test_matches_plain_inner_under_hot_key(self):
+        """90% of left rows share ONE key (the funnel case the salt exists
+        for); the salted result set must equal plain hash_join's exactly,
+        at any salt width."""
+        import ray.data
+
+        from post_ocr_corrector_ray.stages.joins import hash_join, salted_inner_join
+
+        n = 1000
+        lk = np.where(np.arange(n) % 10 == 0, np.arange(n) % 7, 42)
+        l = ray.data.from_arrow(pa.table({
+            "k": pa.array(lk.astype(np.int64), pa.int64()),
+            "lv": pa.array(np.arange(n, dtype=np.int64), pa.int64())}))
+        r = ray.data.from_arrow(pa.table({
+            "rk": pa.array(np.arange(50, dtype=np.int64), pa.int64()),
+            "rv": pa.array(np.arange(50, dtype=np.int64) * 100, pa.int64())}))
+        want = hash_join(l, r, on="k", right_on="rk", how="inner") \
+            .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+        for s in (1, 4, 16):
+            l2 = ray.data.from_arrow(pa.table({
+                "k": pa.array(lk.astype(np.int64), pa.int64()),
+                "lv": pa.array(np.arange(n, dtype=np.int64), pa.int64())}))
+            got = salted_inner_join(l2, r, on="k", right_on="rk",
+                                    salt_buckets=s, num_partitions=5) \
+                .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                got[want.columns], want.astype(got.dtypes.to_dict()))
