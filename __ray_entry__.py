@@ -428,6 +428,12 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "large_volume_orders": lambda sf: R.large_volume_orders(sf),
         # ordered-window suite: running total + ROWS-frame moving average
         "events_running_totals": lambda sf: R.events_running_totals(sf),
+        # semi-structured JSON extraction (vectorized regex) + aggregate
+        "events_props_json": R.events_props_json,
+        # PIVOT: per-user wide counts over the small event-type domain
+        "events_type_pivot": R.events_type_pivot,
+        # UNPIVOT (melt) round-trip of the wide layout
+        "events_type_unpivot": R.events_type_unpivot,
         # Misra–Gries heavy hitters (shuffle-free approximate top-token twin;
         # MG guarantee pytest-pinned vs exact counts — no SQL oracle)
         "doc_heavy_hitters": lambda sf: D.doc_heavy_hitters(sf),
@@ -1926,6 +1932,29 @@ def oracle_sql() -> dict[str, str]:
                          ROWS UNBOUNDED PRECEDING),
                    w3 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+        # JSON k extraction: exact integer sums, identical mean division
+        "events_props_json": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS k_sum,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS DOUBLE)
+                     / count(*) AS k_avg
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        # PIVOT via conditional aggregation (engine emits the same wide row)
+        "events_type_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+            FROM events GROUP BY user_id""",
+        # melt(pivot(x)) with zero cells dropped == the long grouped count
+        "events_type_unpivot": """
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id, event_type""",
         # Q18-lite: integer centiquantity HAVING, then the two equi joins
         "large_volume_orders": """
             WITH q AS (

@@ -123,7 +123,8 @@ def run_benchmarks() -> dict:
         "user_order_event_totals", "returned_item_revenue",
         "promo_revenue_by_month", "large_volume_orders",
         "events_running_totals", "emb_triangle_counts", "emb_kmeans",
-        "doc_mix_materialize",
+        "doc_mix_materialize", "events_props_json", "events_type_pivot",
+        "events_type_unpivot", "lineitem_order_priority_salted",
     ]
     # Each query is timed as the best of two consecutive runs: the first
     # execution in a session pays Ray worker-pool spin-up and parquet

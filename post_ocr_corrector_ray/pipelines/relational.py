@@ -1504,3 +1504,83 @@ def lineitem_order_priority_salted(sf_dir: str,
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     return salted_inner_join(lines, orders, on="l_orderkey",
                              right_on="o_orderkey", salt_buckets=salt_buckets)
+
+
+def events_props_json(sf_dir: str) -> pa.Table:
+    """Semi-structured extraction: pull the integer ``k`` out of the JSON
+    ``props`` column (vectorized regex — no per-row json.loads) and
+    aggregate per event type.  Sums stay exact int64; the mean divides the
+    same two integers on both engine and SQL sides."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("props").to_pandas()
+        k = s.str.extract(r'"k"\s*:\s*(-?\d+)', expand=False).astype("int64")
+        df = pd.DataFrame({"event_type": batch.column("event_type").to_pandas(),
+                           "k": k})
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), k_sum=("k", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(Sum("n", alias_name="n"), Sum("k_sum", alias_name="k_sum")) \
+        .to_pandas()
+    res = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n": agg["n"].astype("int64"),
+        "k_sum": agg["k_sum"].astype("int64"),
+        "k_avg": agg["k_sum"].astype("int64").to_numpy()
+                 / agg["n"].astype("int64").to_numpy()})
+    return pa.Table.from_pandas(res.sort_values("event_type")
+                                .reset_index(drop=True), preserve_index=False)
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(sf_dir: str) -> ray.data.Dataset:
+    """PIVOT: one row per user, one count column per event type (the
+    fixed small domain makes the wide layout safe).  Per-batch (user, type)
+    crosstab partials pre-combine before ONE user exchange; the wide
+    projection is a vectorized reindex, never a per-row loop."""
+    from ..stages.shuffle import grouped_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": batch.column("user_id").to_numpy(),
+                           "t": batch.column("event_type").to_pandas()})
+        ct = pd.crosstab(df["user_id"], df["t"])
+        ct = ct.reindex(columns=list(_EVENT_TYPES), fill_value=0)
+        out = ct.reset_index()
+        out.columns = ["user_id"] + [f"n_{t}" for t in _EVENT_TYPES]
+        return pa.Table.from_pandas(out.astype("int64"), preserve_index=False)
+
+    return grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["user_id"],
+                       {f"n_{t}": (f"n_{t}", "sum") for t in _EVENT_TYPES})
+
+
+def events_type_unpivot(sf_dir: str) -> ray.data.Dataset:
+    """UNPIVOT (melt): the wide per-user pivot back to long (user_id,
+    event_type, n) rows, zero-count cells dropped — round-tripping the
+    wide layout proves both directions are lossless.  The melt is a
+    vectorized per-batch tile/repeat flat map; its oracle is simply the
+    long grouped count."""
+    wide = events_type_pivot(sf_dir)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        k = len(_EVENT_TYPES)
+        n = np.column_stack([
+            batch.column(f"n_{t}").to_numpy(zero_copy_only=False)
+            for t in _EVENT_TYPES]).ravel()
+        uid = np.repeat(users, k)
+        types = np.tile(np.array(_EVENT_TYPES, dtype=object), len(users))
+        keep = n > 0
+        return pa.table({"user_id": pa.array(uid[keep], pa.int64()),
+                         "event_type": pa.array(list(types[keep]), pa.string()),
+                         "n": pa.array(n[keep], pa.int64())})
+
+    return wide.map_batches(melt, batch_format="pyarrow")
