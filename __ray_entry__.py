@@ -434,6 +434,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": R.events_type_pivot,
         # UNPIVOT (melt) round-trip of the wide layout
         "events_type_unpivot": R.events_type_unpivot,
+        # stream-stream self join: same-user pairs within a time window
+        "events_pairs_within": lambda sf: R.events_pairs_within(sf),
         # Misra–Gries heavy hitters (shuffle-free approximate top-token twin;
         # MG guarantee pytest-pinned vs exact counts — no SQL oracle)
         "doc_heavy_hitters": lambda sf: D.doc_heavy_hitters(sf),
@@ -1951,6 +1953,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
                    CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
             FROM events GROUP BY user_id""",
+        # same-user windowed pairs: lexicographic (ts, id) ordering, exact
+        # microsecond gaps
+        "events_pairs_within": """
+            SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+                   CAST(date_diff('microsecond', a.ts, b.ts) AS BIGINT)
+                       AS gap_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+             AND date_diff('microsecond', a.ts, b.ts) <= 300000000""",
         # melt(pivot(x)) with zero cells dropped == the long grouped count
         "events_type_unpivot": """
             SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n

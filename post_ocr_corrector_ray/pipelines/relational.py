@@ -1584,3 +1584,53 @@ def events_type_unpivot(sf_dir: str) -> ray.data.Dataset:
                          "n": pa.array(n[keep], pa.int64())})
 
     return wide.map_batches(melt, batch_format="pyarrow")
+
+
+def events_pairs_within(sf_dir: str, window_minutes: int = 5) -> ray.data.Dataset:
+    """Stream-stream self join: pairs of events from the SAME user at most
+    ``window_minutes`` apart (ordered (ts, id) lexicographically — equal
+    timestamps pair once, smaller id first).  ONE user-keyed exchange; per
+    partition the pair expansion is fully vectorized — rows lex-sort onto a
+    composite (user, ts) int64 axis padded by the window so a searchsorted
+    probe per row yields each row's partner count, and the pairs unroll with
+    repeat/arange (no per-row loop, no full cross product).  Output carries
+    the exact microsecond gap (int64 — no float time math)."""
+    from ..stages.shuffle import grouped_apply
+
+    win_us = int(window_minutes) * 60 * 1_000_000
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                              "id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "gap_us": pd.Series([], dtype="int64")})
+        if df.empty:
+            return empty
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        ids = df["event_id"].to_numpy(np.int64)
+        base = int(ts.min())
+        span = int(ts.max()) - base + win_us + 2
+        ukeys, uidx = np.unique(uid, return_inverse=True)
+        if len(ukeys) * span >= 2**63:
+            raise OverflowError("events_pairs_within: user×span layout too "
+                                "wide for the composite axis")
+        comp = uidx.astype(np.int64) * span + (ts - base)
+        hi = np.searchsorted(comp, comp + win_us, side="right")
+        n = len(comp)
+        counts = hi - np.arange(n) - 1
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        rep = np.repeat(np.arange(n), counts)
+        j = (np.arange(total)
+             - np.repeat(np.cumsum(counts) - counts, counts)
+             + rep + 1)
+        return pd.DataFrame({"user_id": uid[rep],
+                             "id_a": ids[rep],
+                             "id_b": ids[j],
+                             "gap_us": ts[j] - ts[rep]})
+
+    return grouped_apply(ds, ["user_id"], pairs)
