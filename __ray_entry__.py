@@ -439,6 +439,10 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # Misra–Gries heavy hitters (shuffle-free approximate top-token twin;
         # MG guarantee pytest-pinned vs exact counts — no SQL oracle)
         "doc_heavy_hitters": lambda sf: D.doc_heavy_hitters(sf),
+        # per-type HLL distinct (shuffle-free approximate twin of the salted
+        # exact grouped distinct; accuracy pytest-pinned — no SQL oracle)
+        "events_distinct_users_per_type_hll":
+            lambda sf: R.events_distinct_users_per_type_hll(sf),
         # mergeable KLL quantile sketch over the continuous event value
         # (scale twin of exact_quantiles; approximate → no SQL oracle,
         # rank-error pytest-pinned — stages/quantiles.py)

@@ -1634,3 +1634,28 @@ def events_pairs_within(sf_dir: str, window_minutes: int = 5) -> ray.data.Datase
                              "gap_us": ts[j] - ts[rep]})
 
     return grouped_apply(ds, ["user_id"], pairs)
+
+
+def events_distinct_users_per_type_hll(sf_dir: str, p: int = 12) -> pa.Table:
+    """Approximate scale twin of ``events_distinct_users_per_type``:
+    per-type HyperLogLog register sketches max-merge on the driver —
+    per-block traffic is one 2^p-byte register row per type present in the
+    block, with NO salted exchange of (type, user) pairs at all.  Error
+    ≈ 1.04/√2^p (~1.6% at p=12), pinned vs the exact twin in pytest."""
+    from ..stages.sketches import _hll_estimate, hll_registers_by_key
+
+    types = list(_EVENT_TYPES)
+    type_vals = pa.array(types, pa.string())
+
+    def to_idx(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch.column("event_type"), value_set=type_vals)
+        return pa.table({"tix": idx.cast(pa.int64()),
+                         "user_id": batch.column("user_id").cast(pa.int64())})
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"]) \
+        .map_batches(to_idx, batch_format="pyarrow")
+    regs = hll_registers_by_key(ds, "tix", "user_id", p=p)
+    rows = [(types[k], int(round(_hll_estimate(r))))
+            for k, r in sorted(regs.items())]
+    return pa.table({"event_type": pa.array([r[0] for r in rows], pa.string()),
+                     "n_users_est": pa.array([r[1] for r in rows], pa.int64())})

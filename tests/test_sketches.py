@@ -106,3 +106,18 @@ def test_rolling_dau_hll_tracks_exact(ray_session):
     rel = (est["active_users"] - exact["active_users"]).abs() \
         / exact["active_users"].clip(lower=1)
     assert rel.max() < 0.05, rel.max()
+
+
+def test_per_type_hll_within_error_bound(ray_session):
+    from post_ocr_corrector_ray.pipelines.relational import (
+        events_distinct_users_per_type, events_distinct_users_per_type_hll)
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["event_type"]: r["n_users"]
+             for r in events_distinct_users_per_type(sf).to_pylist()}
+    est = {r["event_type"]: r["n_users_est"]
+           for r in events_distinct_users_per_type_hll(sf).to_pylist()}
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        rel = 1.04 / (2 ** 12) ** 0.5          # ~1.6% standard error
+        assert abs(est[t] - n) <= max(5 * rel * n, 3), (t, est[t], n)
