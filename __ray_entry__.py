@@ -292,6 +292,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # distributed Lloyd k-means (streaming assignment passes, exact
         # int64 partial sums; n_iter-level generated SQL twin)
         "emb_kmeans": lambda sf: E.emb_kmeans(sf),
+        # fixed-round k-core peel (iterative degree filter, unrolled oracle)
+        "emb_kcore": lambda sf: E.emb_kcore(sf),
         # relational capability (groupby/join/sort/window)
         "pricing_summary": R.pricing_summary,
         "top_customers": lambda sf: R.top_customers(sf),
@@ -620,6 +622,41 @@ def _kmeans_oracle_sql(n_clusters: int = 8, n_iter: int = 3,
                c{n_iter}.dim AS dim,
                round(c{n_iter}.c, 6) AS centroid
         FROM c{n_iter} LEFT JOIN n{n_iter} USING (cid)"""
+    return ",".join(parts) + final
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 3, knn_k: int = 5) -> str:
+    """SQL twin of ``emb_kcore``: the same fixed peeling rounds unrolled as
+    chained CTEs over the exact k-NN edge CTE."""
+    parts = [f"""
+        WITH knn AS (
+          SELECT vec_id, nn_id FROM (
+            SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY a.vec_id
+                     ORDER BY round(list_cosine_similarity(
+                                CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                              b.vec_id) AS BIGINT) AS nn_rank
+            FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
+          WHERE nn_rank <= {knn_k}),
+        e0 AS (SELECT DISTINCT least(vec_id, nn_id) AS u,
+                               greatest(vec_id, nn_id) AS v
+               FROM knn)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""
+        d{i} AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                 FROM (SELECT u AS node FROM e{p}
+                       UNION ALL SELECT v FROM e{p}) GROUP BY node),
+        k{i} AS (SELECT node FROM d{i} WHERE deg >= {k}),
+        e{i} AS (SELECT e{p}.u, e{p}.v FROM e{p}
+                 JOIN k{i} a ON e{p}.u = a.node
+                 JOIN k{i} b ON e{p}.v = b.node)""")
+    final = f"""
+        SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT u AS node FROM e{rounds}
+              UNION ALL SELECT v FROM e{rounds}) GROUP BY node"""
     return ",".join(parts) + final
 
 
@@ -2018,6 +2055,7 @@ def oracle_sql() -> dict[str, str]:
         out["emb_dedup_bucketed"] = _ivf_dedup_oracle_sql()
         out["emb_pagerank_bucketed"] = _ivf_pagerank_oracle_sql()
         out["emb_kmeans"] = _kmeans_oracle_sql()
+        out["emb_kcore"] = _kcore_oracle_sql()
     if os.path.exists(f"{_ORACLE_SF_DIR}/documents.parquet"):
         out["doc_mix_materialize"] = _mix_oracle_sql()
     return out

@@ -368,3 +368,15 @@ def emb_kmeans(sf_dir: str, n_clusters: int = 8, n_iter: int = 3) -> pa.Table:
     return kmeans_lloyd_distributed(_emb(sf_dir), n_clusters=n_clusters,
                                     n_iter=n_iter,
                                     approx_count=_emb_count(sf_dir))
+
+
+def emb_kcore(sf_dir: str, k: int = 3, rounds: int = 3) -> ray.data.Dataset:
+    """Fixed-round k-core peel of the undirected exact k-NN graph
+    (stages/components.py::kcore_peel) — the iterative degree-filter
+    dataflow, hash-verified by an oracle that unrolls the same rounds."""
+    from ..stages.components import kcore_peel
+
+    edges = knn_graph_blockwise(_emb(sf_dir), k=5).map_batches(
+        lambda t: t.select(["vec_id", "nn_id"]), batch_format="pyarrow")
+    return kcore_peel(edges, k=k, rounds=rounds,
+                      u_col="vec_id", v_col="nn_id")

@@ -452,3 +452,67 @@ def triangle_counts(pairs: ray.data.Dataset, *, u_col: str = "id_a",
     return grouped_agg(closed.map_batches(count_partial, batch_format="pyarrow"),
                        ["node"], {"n_triangles": ("n_triangles", "sum")},
                        num_partitions=num_partitions)
+
+
+def kcore_peel(pairs: ray.data.Dataset, *, k: int = 3, rounds: int = 3,
+               u_col: str = "id_a", v_col: str = "id_b",
+               num_partitions: int = DEFAULT_PARTITIONS) -> ray.data.Dataset:
+    """Fixed-round k-core peeling over an undirected edge set: each round
+    computes degrees (ONE node-keyed aggregate over the symmetrized edges),
+    keeps nodes with degree ≥ k, and filters the edge set through two
+    co-partitioned semi joins.  ``rounds`` is part of the operator contract
+    (the SQL twin unrolls the same rounds), so engine and oracle agree even
+    before the peel converges; k-NN-graph shapes converge in 2-3 rounds.
+    Per-round edge sets are pinned (iterative dataflow — same posture as
+    PageRank/star contraction).  Emits (node, degree) over the final edge
+    set."""
+    from .joins import hash_join
+    from .shuffle import grouped_agg
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        u = batch.column(u_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column(v_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"u": pa.array(np.minimum(u, v), pa.int64()),
+                         "v": pa.array(np.maximum(u, v), pa.int64())})
+
+    from .shuffle import distinct_rows
+
+    edges = _pin(distinct_rows(
+        pairs.map_batches(normalize, batch_format="pyarrow"),
+        ["u", "v"], num_partitions=num_partitions), num_partitions)
+    # ~9 exchanges follow (3 per round); adapt P to the now-known edge count
+    # so a toy graph doesn't pay 64-task sorts each — same rule as
+    # connected_components, results P-independent
+    num_partitions = max(8, min(num_partitions, edges.count() // 10_000 + 8))
+    edges = _pin(edges, num_partitions)
+
+    def degrees(es: ray.data.Dataset) -> ray.data.Dataset:
+        def explode(batch: pa.Table) -> pa.Table:
+            u = batch.column("u").to_numpy(zero_copy_only=False)
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            node, cnt = np.unique(np.concatenate([u, v]), return_counts=True)
+            return pa.table({"node": pa.array(node, pa.int64()),
+                             "degree": pa.array(cnt, pa.int64())})
+
+        return grouped_agg(es.map_batches(explode, batch_format="pyarrow"),
+                           ["node"], {"degree": ("degree", "sum")},
+                           num_partitions=num_partitions)
+
+    for _ in range(rounds):
+        deg = degrees(edges)
+
+        def keep_nodes(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.greater_equal(batch.column("degree"), k))
+            return pa.table({"node": t.column("node")})
+
+        kept = _pin(deg.map_batches(keep_nodes, batch_format="pyarrow"),
+                    num_partitions)
+        edges = hash_join(edges, kept, on="u", right_on="node", how="semi",
+                          num_partitions=num_partitions)
+        edges = _pin(hash_join(edges, kept, on="v", right_on="node",
+                               how="semi", num_partitions=num_partitions),
+                     num_partitions)
+
+    return degrees(edges)

@@ -250,3 +250,20 @@ def test_triangle_counts_property(ray_session, raw_edges):
     got = {} if out.empty else dict(zip(out["node"].astype(int),
                                         out["n_triangles"].astype(int)))
     assert got == want
+
+
+def test_kcore_peel_removes_tail(ray_session):
+    """K4 clique (3-core) + a pendant chain: the chain must peel away over
+    the rounds, the clique survives with degree 3."""
+    import ray.data
+    from post_ocr_corrector_ray.stages.components import kcore_peel
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    edges = k4 + chain
+    ds = ray.data.from_arrow(pa.table(
+        {"id_a": pa.array([a for a, _ in edges], pa.int64()),
+         "id_b": pa.array([b for _, b in edges], pa.int64())}))
+    out = kcore_peel(ds, k=3, rounds=3, num_partitions=4).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["degree"].astype(int)))
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
