@@ -305,6 +305,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "events_user_rolling": lambda sf: R.events_user_rolling(sf),
         "events_value_lag": R.events_value_lag,
         "events_asof_orders": R.events_asof_orders,
+        # forward as-of twin (next order at-or-after the event)
+        "events_asof_next_order": R.events_asof_next_order,
         "orders_event_window_counts": lambda sf: R.orders_event_window_counts(sf),
         "orders_topk_per_customer": lambda sf: R.orders_topk_per_customer(sf),
         "doc_length_quantiles": D.doc_length_quantiles,
@@ -1339,6 +1341,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id,
                    CAST(m.o_orderkey AS DOUBLE) AS asof_orderkey,
                    CAST(m.o_totalprice AS DOUBLE) AS asof_totalprice
+            FROM events e
+            LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)""",
+        # forward twin: smallest o_orderdate ≥ ts, equal dates → max orderkey
+        "events_asof_next_order": """
+            WITH m AS (
+              SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+                     row_number() OVER (PARTITION BY e.event_id
+                                        ORDER BY o.o_orderdate ASC,
+                                                 o.o_orderkey DESC) AS rn
+              FROM events e JOIN orders o
+                ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
+            SELECT e.event_id, e.user_id,
+                   CAST(m.o_orderkey AS DOUBLE) AS next_orderkey,
+                   CAST(m.o_totalprice AS DOUBLE) AS next_totalprice
             FROM events e
             LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)""",
         "orders_event_window_counts": """

@@ -125,7 +125,7 @@ def run_benchmarks() -> dict:
         "events_running_totals", "emb_triangle_counts", "emb_kmeans",
         "doc_mix_materialize", "events_props_json", "events_type_pivot",
         "events_type_unpivot", "lineitem_order_priority_salted",
-        "events_pairs_within", "emb_kcore",
+        "events_pairs_within", "emb_kcore", "events_asof_next_order",
         "events_distinct_users_per_type_hll",
     ]
     # Each query is timed as the best of two consecutive runs: the first

@@ -1659,3 +1659,30 @@ def events_distinct_users_per_type_hll(sf_dir: str, p: int = 12) -> pa.Table:
             for k, r in sorted(regs.items())]
     return pa.table({"event_type": pa.array([r[0] for r in rows], pa.string()),
                      "n_users_est": pa.array([r[1] for r in rows], pa.int64())})
+
+
+def events_asof_next_order(sf_dir: str) -> ray.data.Dataset:
+    """FORWARD as-of join: each event picks up the same user's NEXT order
+    at-or-after the event time (equal order dates break to max orderkey,
+    same rule as the backward twin).  Same ONE co-partitioning shuffle;
+    direction is a parameter of stages/joins.py::asof_join."""
+    from ..stages.joins import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    joined = asof_join(
+        events, orders, on="ts", by="user_id",
+        right_on="o_orderdate", right_by="o_custkey",
+        right_cols={"o_orderkey": "next_orderkey",
+                    "o_totalprice": "next_totalprice"},
+        tie_col="o_orderkey", direction="forward")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "next_orderkey": df["next_orderkey"].astype("float64"),
+            "next_totalprice": df["next_totalprice"].astype("float64")})
+
+    return joined.map_batches(project, batch_format="pandas")

@@ -121,15 +121,20 @@ def _union_tagged(left: ray.data.Dataset, right: ray.data.Dataset,
 def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
               on: str, by: str, right_on: str, right_by: str,
               right_cols: dict[str, str], tie_col: str,
+              direction: str = "backward",
               num_partitions: int = DEFAULT_PARTITIONS) -> ray.data.Dataset:
     """LEFT as-of join: for each left row, attach the right row with the
-    greatest ``right_on`` ≤ left ``on`` for the same key (backward as-of,
-    exact matches allowed); no match → nulls.
+    greatest ``right_on`` ≤ left ``on`` ("backward", default) or the
+    smallest ``right_on`` ≥ left ``on`` ("forward") for the same key (exact
+    matches allowed either way); no match → nulls.
 
     ``right_cols`` maps right column → output name; ``tie_col`` (a right
     column, also listed in ``right_cols`` or not) breaks equal-``on`` ties by
-    maximum.  Output = every left column + the renamed right columns.
+    maximum in BOTH directions.  Output = every left column + the renamed
+    right columns.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unsupported direction={direction!r}")
     left, right = _as_arrow(left), _as_arrow(right)
     renames = {right_by: by, right_on: on}
     keep = [right_by, right_on] + [c for c in right_cols if c not in (right_by, right_on)]
@@ -152,17 +157,19 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df[_SIDE] == 0][left_cols].sort_values(on, kind="mergesort")
-        # right: sort by (on, tie) so merge_asof's take-last-duplicate rule
-        # resolves equal-`on` ties to the max tie_col
+        # right: sorted so the direction's duplicate rule lands on the MAX
+        # tie_col — backward takes the LAST equal-`on` duplicate (tie
+        # ascending), forward takes the FIRST (tie descending)
         r = df[df[_SIDE] == 1][[by, on] + sorted(set(extra_cols))].sort_values(
-            [on, tie_out], kind="mergesort")
+            [on, tie_out], kind="mergesort",
+            ascending=[True, direction == "backward"])
         if l.empty:
             return pd.DataFrame({c: pd.Series([], dtype="float64")
                                  for c in left_cols + out_right})
         l = l.astype(left_dtypes)
         r = r.astype({by: left_dtypes[by]} if by in left_dtypes else {})
         out = pd.merge_asof(l, r[[by, on] + out_right], on=on, by=by,
-                            direction="backward", allow_exact_matches=True)
+                            direction=direction, allow_exact_matches=True)
         return out
 
     return grouped_apply(both, [by], merge, num_partitions=num_partitions)
