@@ -350,6 +350,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # materialized temperature mix: deterministic md5 residual coin,
         # flat-map repeat expansion
         "doc_mix_materialize": lambda sf: D.doc_mix_materialize(sf),
+        # Efraimidis–Spirakis weighted sample (md5-derived u, combine-safe
+        # top-k by u^(1/w))
+        "doc_weighted_sample": lambda sf: D.doc_weighted_sample(sf),
         # cross-document exact span dedup (C4 / Lee et al. 2022 family):
         # gram-keyed removal exchange + doc-keyed rebuild — stages/spandedup.py
         "doc_span_dedup": lambda sf: D.doc_span_dedup(sf),
@@ -1991,6 +1994,16 @@ def oracle_sql() -> dict[str, str]:
                          ROWS UNBOUNDED PRECEDING),
                    w3 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+        # A-ES weighted sample: identical key expression, top-32 by key
+        "doc_weighted_sample": """
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars,
+                     pow(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'),
+                                         1, 12))::BIGINT
+                         / 281474976710656.0,
+                         1.0 / greatest(n_chars, 1)) AS key
+              FROM documents)
+            ORDER BY key DESC, doc_id LIMIT 32""",
         # JSON k extraction: exact integer sums, identical mean division
         "events_props_json": """
             SELECT event_type,

@@ -1176,3 +1176,36 @@ def doc_mix_materialize(sf_dir: str, alpha: float = 0.5) -> ray.data.Dataset:
             "copy_id": pa.array(copy_id, pa.int64())})
 
     return docs.map_batches(expand, batch_format="pyarrow")
+
+
+def doc_weighted_sample(sf_dir: str, k: int = 32) -> pa.Table:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each doc draws u ∈ (0,1) from a DETERMINISTIC 48-bit md5 of its id and
+    competes with key u^(1/w) (w = n_chars) — the k largest keys are an
+    exact weighted sample.  Top-k is combine-safe, so per-block local top-k
+    partials → tiny driver merge; no shuffle, reproducible across layouts
+    and cluster sizes.  The SQL twin computes the identical key expression
+    (selection ties would need keys within 1 ulp of each other — md5 makes
+    that astronomically unlikely)."""
+    import hashlib
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        w = batch.column("n_chars").to_numpy(zero_copy_only=False) \
+                 .astype(np.float64)
+        u = np.array([int(hashlib.md5(f"{i}:ws".encode()).hexdigest()[:12], 16)
+                      for i in ids], dtype=np.float64) / float(16**12)
+        key = u ** (1.0 / np.maximum(w, 1.0))
+        order = np.argsort(-key, kind="stable")[:k]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "n_chars": pa.array(
+                             batch.column("n_chars").take(pa.array(order))),
+                         "key": pa.array(key[order], pa.float64())})
+
+    parts = docs.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    top = parts.sort_values(["key", "doc_id"],
+                            ascending=[False, True]).head(k)
+    return pa.table({"doc_id": pa.array(top["doc_id"].astype("int64")),
+                     "n_chars": pa.array(top["n_chars"].astype("int64"))})
