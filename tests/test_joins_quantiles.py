@@ -476,3 +476,22 @@ class TestSaltedJoin:
                 .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
             pd.testing.assert_frame_equal(
                 got[want.columns], want.astype(got.dtypes.to_dict()))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAsofForward:
+    def test_forward_pick_ties_and_nulls(self):
+        ev = _events([(1, 7, "2024-01-10T00:00:00"),
+                      (2, 7, "2024-01-30T00:00:00"),   # after every order
+                      (3, 9, "2024-01-10T00:00:00")])  # keyless user
+        od = _orders([(100, 7, "2024-01-05T00:00:00", 10.0),
+                      (101, 7, "2024-01-12T00:00:00", 20.0),
+                      (250, 7, "2024-01-12T00:00:00", 30.0),
+                      (180, 7, "2024-01-20T00:00:00", 40.0)])
+        out = _run_asof(ev, od, direction="forward")
+        assert out.loc[0, "k"] == 250          # earliest ≥ ts; tie → max key
+        assert out.loc[0, "p"] == 30.0
+        assert math.isnan(out.loc[1, "k"])     # nothing after
+        assert math.isnan(out.loc[2, "k"])     # keyless user
+        with pytest.raises(ValueError, match="direction"):
+            _run_asof(ev, od, direction="sideways")
