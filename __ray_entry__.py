@@ -435,6 +435,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "large_volume_orders": lambda sf: R.large_volume_orders(sf),
         # ordered-window suite: running total + ROWS-frame moving average
         "events_running_totals": lambda sf: R.events_running_totals(sf),
+        # order-statistic window: per-user rolling median
+        "events_rolling_median": lambda sf: R.events_rolling_median(sf),
         # semi-structured JSON extraction (vectorized regex) + aggregate
         "events_props_json": R.events_props_json,
         # PIVOT: per-user wide counts over the small event-type domain
@@ -1994,6 +1996,14 @@ def oracle_sql() -> dict[str, str]:
                          ROWS UNBOUNDED PRECEDING),
                    w3 AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+        # rolling median over exact cents (two-middle average exact < 2^52)
+        "events_rolling_median": """
+            SELECT event_id, user_id,
+                   median(CAST(round(value*100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0
+                       AS rolling_median
+            FROM events""",
         # A-ES weighted sample: identical key expression, top-32 by key
         "doc_weighted_sample": """
             SELECT doc_id, n_chars FROM (

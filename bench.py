@@ -126,7 +126,7 @@ def run_benchmarks() -> dict:
         "doc_mix_materialize", "events_props_json", "events_type_pivot",
         "events_type_unpivot", "lineitem_order_priority_salted",
         "events_pairs_within", "emb_kcore", "events_asof_next_order",
-        "doc_weighted_sample",
+        "doc_weighted_sample", "events_rolling_median",
         "events_distinct_users_per_type_hll",
     ]
     # Each query is timed as the best of two consecutive runs: the first

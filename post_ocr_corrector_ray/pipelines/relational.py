@@ -1686,3 +1686,32 @@ def events_asof_next_order(sf_dir: str) -> ray.data.Dataset:
             "next_totalprice": df["next_totalprice"].astype("float64")})
 
     return joined.map_batches(project, batch_format="pandas")
+
+
+def events_rolling_median(sf_dir: str, window_rows: int = 3) -> ray.data.Dataset:
+    """ORDER-STATISTIC window: per-user rolling median of the last
+    ``window_rows`` event values — the window family sums can't express.
+    Same ONE user exchange as the running totals; medians compute over
+    exact int64 cents (the two-middle average is exact in double below
+    2^52) so the emitted doubles match DuckDB's median() OVER frame
+    bitwise."""
+    from ..stages.shuffle import grouped_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def med(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "rolling_median": pd.Series([], dtype="float64")})
+        df = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        cents = pd.Series(np.round(df["value"].to_numpy() * 100)
+                          .astype(np.int64))
+        m = cents.groupby(df["user_id"].to_numpy()) \
+            .rolling(window_rows, min_periods=1).median() \
+            .reset_index(drop=True).to_numpy()
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "user_id": df["user_id"].to_numpy(),
+                             "rolling_median": m / 100.0})
+
+    return grouped_apply(ds, ["user_id"], med)
