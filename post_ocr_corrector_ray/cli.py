@@ -228,7 +228,9 @@ def main(argv: list[str] | None = None) -> int:
                                        minhash_duplicate_pairs_incremental,
                                        signature_store_tables)
             from .state.lineage import (commit_by_key, fingerprint_inputs,
-                                        read_output_ds)
+                                        read_output, read_output_ds)
+
+            import shutil
 
             lsh_params = dict(n_hashes=64, bands=16, k_shingle=5)
             docs = ray.data.read_parquet(
@@ -241,6 +243,23 @@ def main(argv: list[str] | None = None) -> int:
 
             def _sigstore_meta(store_dir):
                 return os.path.join(store_dir, "_sigstore", "meta.json")
+
+            # shingle the wave ONCE: the full wave's deterministic LSH state
+            # goes to a tmp store first (idempotent: any stale tmp/final
+            # stores are cleared — meta.json written LAST is the validity
+            # marker), is read back for pair generation, and is filtered to
+            # the survivors for the final persisted store — the wave's text
+            # is never re-shingled
+            tmp_store = os.path.join(args.out_dir, "_sigstore.tmp")
+            fin_store = os.path.join(args.out_dir, "_sigstore")
+            shutil.rmtree(tmp_store, ignore_errors=True)
+            shutil.rmtree(fin_store, ignore_errors=True)
+            wave_bands, wave_sigs = signature_store_tables(
+                docs, text_col=args.text_col, id_col=args.id_col, **lsh_params)
+            wave_bands.write_parquet(os.path.join(tmp_store, "bands"))
+            wave_sigs.write_parquet(os.path.join(tmp_store, "sigs"))
+            wave_bands = ray.data.read_parquet(os.path.join(tmp_store, "bands"))
+            wave_sigs = ray.data.read_parquet(os.path.join(tmp_store, "sigs"))
 
             if args.against:
                 id_col = args.id_col
@@ -273,7 +292,9 @@ def main(argv: list[str] | None = None) -> int:
                         docs, store_bands, store_sigs,
                         min_new_id=min_new_id, text_col=args.text_col,
                         id_col=args.id_col,
-                        jaccard_threshold=args.threshold, **lsh_params)
+                        jaccard_threshold=args.threshold,
+                        new_bands=wave_bands, new_sigs=wave_sigs,
+                        **lsh_params)
                 else:
                     text_col = args.text_col
 
@@ -287,23 +308,37 @@ def main(argv: list[str] | None = None) -> int:
                     docs, store_ids, pairs,
                     id_col=args.id_col, num_partitions=args.partitions)
             else:
-                surv = near_dedup(docs, _pairs(docs), id_col=args.id_col,
+                pairs_own = minhash_duplicate_pairs(
+                    docs, text_col=args.text_col, id_col=args.id_col,
+                    jaccard_threshold=args.threshold,
+                    bands_ds=wave_bands, sigs_ds=wave_sigs, **lsh_params)
+                surv = near_dedup(docs, pairs_own, id_col=args.id_col,
                                   num_partitions=args.partitions)
             summary = commit_by_key(
                 surv, args.out_dir, key_col=args.id_col,
                 num_partitions=args.partitions,
                 input_fingerprint=fingerprint_inputs(args.documents),
                 stage_versions={"dedup": "minhash-lsh-cc-v1"}).to_pandas()
-            # persist the wave's deterministic LSH state so the NEXT wave can
-            # run --against this out_dir without recomputing it from text
-            surv_rb = read_output_ds(args.out_dir).map_batches(
-                lambda b: b.select([args.id_col, args.text_col]),
-                batch_format="pyarrow")
-            bands_ds, sigs_ds = signature_store_tables(
-                surv_rb, text_col=args.text_col, id_col=args.id_col,
-                **lsh_params)
-            bands_ds.write_parquet(os.path.join(args.out_dir, "_sigstore", "bands"))
-            sigs_ds.write_parquet(os.path.join(args.out_dir, "_sigstore", "sigs"))
+            # persist the SURVIVORS' LSH state so the NEXT wave can run
+            # --against this out_dir: filter the already-persisted wave
+            # tables against the broadcast survivor-id set (wave-bounded —
+            # NOT store-bounded; a co-partitioned semi join is unusable here
+            # because band_hash is a full-range int64 that would be promoted
+            # to float64 through the join union), meta LAST
+            import pyarrow.compute as _pc
+
+            surv_id_tbl = read_output(args.out_dir).select([args.id_col])
+            ids_ref = ray.put(surv_id_tbl.column(args.id_col).combine_chunks())
+
+            def _keep_surv(batch):
+                return batch.filter(_pc.is_in(batch.column(args.id_col),
+                                              value_set=ray.get(ids_ref)))
+
+            wave_bands.map_batches(_keep_surv, batch_format="pyarrow") \
+                .write_parquet(os.path.join(fin_store, "bands"))
+            wave_sigs.map_batches(_keep_surv, batch_format="pyarrow") \
+                .write_parquet(os.path.join(fin_store, "sigs"))
+            shutil.rmtree(tmp_store, ignore_errors=True)
             with open(_sigstore_meta(args.out_dir), "w", encoding="utf-8") as f:
                 json.dump({**lsh_params, "id_col": args.id_col,
                            "threshold": args.threshold}, f)

@@ -1239,6 +1239,12 @@ def user_order_event_totals(sf_dir: str) -> ray.data.Dataset:
                        on="id", how="full")
 
     def coalesce(df: pd.DataFrame) -> pd.DataFrame:
+        # a fully-empty side leaves the full join without that side's column
+        # at all (hash_join's degenerate-schema contract) — zero-fill it so
+        # the output schema matches the SQL oracle's in every case
+        for c in ("n_orders", "n_events"):
+            if c not in df.columns:
+                df[c] = 0
         return pd.DataFrame({
             "id": df["id"].astype("int64"),
             "n_orders": df["n_orders"].fillna(0).astype("int64"),
@@ -1551,6 +1557,12 @@ def events_type_pivot(sf_dir: str) -> ray.data.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({"user_id": batch.column("user_id").to_numpy(),
                            "t": batch.column("event_type").to_pandas()})
+        unknown = set(df["t"].unique()) - set(_EVENT_TYPES)
+        if unknown:
+            # loud, never silent: a type outside the pivot domain would
+            # otherwise be dropped by the reindex (no-silent-caps discipline)
+            raise ValueError(f"events_type_pivot: unknown event types "
+                             f"{sorted(unknown)} outside {_EVENT_TYPES}")
         ct = pd.crosstab(df["user_id"], df["t"])
         ct = ct.reindex(columns=list(_EVENT_TYPES), fill_value=0)
         out = ct.reset_index()
@@ -1649,6 +1661,9 @@ def events_distinct_users_per_type_hll(sf_dir: str, p: int = 12) -> pa.Table:
 
     def to_idx(batch: pa.Table) -> pa.Table:
         idx = pc.index_in(batch.column("event_type"), value_set=type_vals)
+        if idx.null_count:
+            raise ValueError("events_distinct_users_per_type_hll: event type "
+                             f"outside the known domain {types}")
         return pa.table({"tix": idx.cast(pa.int64()),
                          "user_id": batch.column("user_id").cast(pa.int64())})
 

@@ -382,6 +382,25 @@ def near_dedup_incremental(new_docs: ray.data.Dataset,
                      num_partitions=num_partitions)
 
 
+def _normalize_undirected(u_col: str, v_col: str, *, check_range: bool = False):
+    """Batch fn factory: arbitrary (u, v) pairs → canonical undirected
+    (min, max) int64 edges, self-loops dropped; ``check_range`` additionally
+    enforces ids < 2**31 (for callers that pack two ids into one int64)."""
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        u = batch.column(u_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column(v_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if check_range and ((u < 0) | (v < 0)
+                            | (u >= 2**31) | (v >= 2**31)).any():
+            raise ValueError("undirected edge ids must be in [0, 2**31)")
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"u": pa.array(np.minimum(u, v), pa.int64()),
+                         "v": pa.array(np.maximum(u, v), pa.int64())})
+
+    return normalize
+
+
 def triangle_counts(pairs: ray.data.Dataset, *, u_col: str = "id_a",
                     v_col: str = "id_b",
                     num_partitions: int = DEFAULT_PARTITIONS
@@ -402,18 +421,10 @@ def triangle_counts(pairs: ray.data.Dataset, *, u_col: str = "id_a",
     from .joins import hash_join
     from .shuffle import distinct_rows, grouped_agg
 
-    def normalize(batch: pa.Table) -> pa.Table:
-        u = batch.column(u_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        v = batch.column(v_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        if ((u < 0) | (v < 0) | (u >= 2**31) | (v >= 2**31)).any():
-            raise ValueError("triangle_counts: ids must be in [0, 2**31)")
-        keep = u != v
-        u, v = u[keep], v[keep]
-        return pa.table({"u": pa.array(np.minimum(u, v), pa.int64()),
-                         "v": pa.array(np.maximum(u, v), pa.int64())})
-
-    und = distinct_rows(pairs.map_batches(normalize, batch_format="pyarrow"),
-                        ["u", "v"], num_partitions=num_partitions)
+    und = distinct_rows(
+        pairs.map_batches(_normalize_undirected(u_col, v_col, check_range=True),
+                          batch_format="pyarrow"),
+        ["u", "v"], num_partitions=num_partitions)
 
     def sym(batch: pa.Table) -> pa.Table:
         u = batch.column("u").to_numpy(zero_copy_only=False)
@@ -467,20 +478,11 @@ def kcore_peel(pairs: ray.data.Dataset, *, k: int = 3, rounds: int = 3,
     PageRank/star contraction).  Emits (node, degree) over the final edge
     set."""
     from .joins import hash_join
-    from .shuffle import grouped_agg
-
-    def normalize(batch: pa.Table) -> pa.Table:
-        u = batch.column(u_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        v = batch.column(v_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = u != v
-        u, v = u[keep], v[keep]
-        return pa.table({"u": pa.array(np.minimum(u, v), pa.int64()),
-                         "v": pa.array(np.maximum(u, v), pa.int64())})
-
-    from .shuffle import distinct_rows
+    from .shuffle import distinct_rows, grouped_agg
 
     edges = _pin(distinct_rows(
-        pairs.map_batches(normalize, batch_format="pyarrow"),
+        pairs.map_batches(_normalize_undirected(u_col, v_col),
+                          batch_format="pyarrow"),
         ["u", "v"], num_partitions=num_partitions), num_partitions)
     # ~9 exchanges follow (3 per round); adapt P to the now-known edge count
     # so a toy graph doesn't pay 64-task sorts each — same rule as

@@ -376,7 +376,10 @@ def minhash_duplicate_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                             id_col: str = "doc_id", n_hashes: int = 64,
                             bands: int = 16, k_shingle: int = 5,
                             jaccard_threshold: float = 0.8,
-                            verify: bool = True) -> ray.data.Dataset:
+                            verify: bool = True,
+                            bands_ds: ray.data.Dataset | None = None,
+                            sigs_ds: ray.data.Dataset | None = None
+                            ) -> ray.data.Dataset:
     """Candidate pairs from LSH buckets, verified by exact shingle Jaccard.
 
     Verification is the distributed signature join (``verify_pairs_payload``):
@@ -384,18 +387,23 @@ def minhash_duplicate_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     through an id-partitioned shuffle to meet its candidate pairs — the corpus
     is never collected on the driver.  Emits (id_a, id_b, jaccard) with
     id_a < id_b, deduplicated across bands.
+
+    ``bands_ds``/``sigs_ds``: pre-computed LSH state for ``ds`` (e.g. read
+    back from a persisted signature store) — pass them to skip re-shingling
+    the text; they MUST have been built with the same parameters.
     """
-    bands_ds = ds.map_batches(
-        minhash_bands_batch, batch_format="pyarrow",
-        fn_kwargs=dict(text_col=text_col, id_col=id_col, n_hashes=n_hashes,
-                       bands=bands, k_shingle=k_shingle))
+    if bands_ds is None:
+        bands_ds = ds.map_batches(
+            minhash_bands_batch, batch_format="pyarrow",
+            fn_kwargs=dict(text_col=text_col, id_col=id_col, n_hashes=n_hashes,
+                           bands=bands, k_shingle=k_shingle))
     if not verify:
         return _bucket_pairs_partitioned(bands_ds, ["band_id", "band_hash"],
                                          id_col)
     cand = _bucket_pairs_partitioned(bands_ds, ["band_id", "band_hash"],
                                      id_col, distinct=False)
-    sigs = shingle_signatures(ds, text_col=text_col, id_col=id_col,
-                              k_shingle=k_shingle)
+    sigs = sigs_ds if sigs_ds is not None else shingle_signatures(
+        ds, text_col=text_col, id_col=id_col, k_shingle=k_shingle)
     return verify_pairs_payload(cand, sigs, id_col=id_col,
                                 score_fn=jaccard_from_signatures,
                                 threshold=jaccard_threshold, out_col="jaccard")
@@ -423,7 +431,9 @@ def minhash_duplicate_pairs_incremental(
         store_sigs: ray.data.Dataset, *, min_new_id: int,
         text_col: str = "text", id_col: str = "doc_id", n_hashes: int = 64,
         bands: int = 16, k_shingle: int = 5,
-        jaccard_threshold: float = 0.8) -> ray.data.Dataset:
+        jaccard_threshold: float = 0.8,
+        new_bands: ray.data.Dataset | None = None,
+        new_sigs: ray.data.Dataset | None = None) -> ray.data.Dataset:
     """Verified near-dup pairs for append-only ingest WITHOUT touching store
     text: the new wave's bands/signatures are computed, the store side reads
     its persisted signature store (``signature_store_tables``).
@@ -437,10 +447,11 @@ def minhash_duplicate_pairs_incremental(
     below ``min_new_id``.  Verification payload volume likewise drops to
     pairs that can matter.
     """
-    new_bands = new_docs.map_batches(
-        minhash_bands_batch, batch_format="pyarrow",
-        fn_kwargs=dict(text_col=text_col, id_col=id_col, n_hashes=n_hashes,
-                       bands=bands, k_shingle=k_shingle))
+    if new_bands is None:
+        new_bands = new_docs.map_batches(
+            minhash_bands_batch, batch_format="pyarrow",
+            fn_kwargs=dict(text_col=text_col, id_col=id_col, n_hashes=n_hashes,
+                           bands=bands, k_shingle=k_shingle))
     cand = _bucket_pairs_partitioned(new_bands.union(store_bands),
                                      ["band_id", "band_hash"], id_col,
                                      distinct=False)
@@ -450,8 +461,9 @@ def minhash_duplicate_pairs_incremental(
                                              min_new_id))
 
     cand = cand.map_batches(drop_store_store, batch_format="pyarrow")
-    new_sigs = shingle_signatures(new_docs, text_col=text_col, id_col=id_col,
-                                  k_shingle=k_shingle)
+    if new_sigs is None:
+        new_sigs = shingle_signatures(new_docs, text_col=text_col,
+                                      id_col=id_col, k_shingle=k_shingle)
     return verify_pairs_payload(cand, new_sigs.union(store_sigs),
                                 id_col=id_col,
                                 score_fn=jaccard_from_signatures,

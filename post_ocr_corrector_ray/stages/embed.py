@@ -680,6 +680,9 @@ def kmeans_lloyd_distributed(ds: ray.data.Dataset, *, n_clusters: int = 8,
     sample = train_quantizer_sample(ds, target=4096, vec_col=vec_col,
                                     id_col=id_col, seed=7,
                                     approx_count=approx_count)
+    if sample.size == 0:
+        raise ValueError("kmeans_lloyd_distributed: empty input dataset "
+                         "(no vectors to sample the init from)")
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(sample), size=min(n_clusters, len(sample)),
                      replace=False)

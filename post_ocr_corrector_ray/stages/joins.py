@@ -245,7 +245,10 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     "left", "right" and "full" return left+right columns (outer variants
     null-pad unmatched rows and keep the padded side's integer columns
     float64 — coalesce + cast downstream); non-key column names must not
-    collide.
+    collide.  Constraint: non-key integer payload columns travel as float64
+    through the tagged union, so values must fit 53 bits — full-range hash
+    columns fail LOUDLY at the pad cast (store hashes as binary, or filter
+    via a broadcast ``pc.is_in`` instead of a join).
     """
     if how not in ("inner", "left", "right", "full", "semi", "anti"):
         raise ValueError(f"hash_join: unsupported how={how!r}")
@@ -345,9 +348,16 @@ def salted_inner_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     not collide; output = left columns + renamed right columns.
     """
     left, right = _as_arrow(left), _as_arrow(right)
+    # same degenerate-schema contract as hash_join(how="inner"): an empty
+    # (schema-less) side makes the inner join empty
+    ls_raw, rs_raw = left.schema(), right.schema()
+    if ls_raw is None or not ls_raw.names:
+        return left
+    if rs_raw is None or not rs_raw.names:
+        return left.limit(0)
     renames = {right_on or on: on}
-    clash = (set(left.schema().names)
-             & {renames.get(n, n) for n in right.schema().names}) - {on}
+    clash = (set(ls_raw.names)
+             & {renames.get(n, n) for n in rs_raw.names}) - {on}
     if clash:
         raise ValueError(f"salted_inner_join: column name collision "
                          f"{sorted(clash)}; rename before joining")
