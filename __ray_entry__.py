@@ -204,20 +204,82 @@ def entry() -> Any:
     return _flagship(n_pages=60)
 
 
+# Oracle-backed queries that already have a green driver CORRECTNESS row
+# (round 3 window, CORRECTNESS_r03.json — 50/50 green).  The driver gate only
+# verifies the FIRST ~50 queries() entries each round, so round 4 rotates the
+# window: entries NOT in this set (never driver-verified) come first.
+_R3_DRIVER_VERIFIED = frozenset({
+    "doc_normalize_ws", "doc_all_chars", "doc_token_counts",
+    "doc_split_assignment", "doc_lev_reverse", "doc_markup_roundtrip",
+    "doc_length_extremes", "doc_prefix_sample", "doc_dedup_exact",
+    "doc_token_stats", "doc_token_count_bpe", "doc_scrub_pii", "doc_quality",
+    "doc_langid", "doc_fingerprint", "doc_simhash_md5",
+    "doc_simhash_candidates_md5", "doc_minhash_pairs",
+    "doc_ngram_jaccard_pairs", "emb_ann_topk", "emb_ann_topk_lsh",
+    "emb_ann_topk_ivf", "emb_nn_join", "emb_knn_graph",
+    "emb_knn_graph_bucketed", "emb_nn_join_bucketed", "emb_cosine_dups",
+    "emb_cosine_dups_bucketed", "emb_dedup", "emb_dedup_bucketed",
+    "emb_triangle_counts", "emb_kmeans", "emb_kcore", "pricing_summary",
+    "top_customers", "order_priority_counts", "parts_by_brand",
+    "supplier_counts_by_region", "events_hourly", "events_sessions",
+    "events_user_rolling", "events_value_lag", "events_asof_orders",
+    "events_asof_next_order", "orders_event_window_counts",
+    "orders_topk_per_customer", "doc_length_quantiles",
+    "doc_stratified_sample", "lineitem_order_priority",
+    "lineitem_order_priority_salted",
+})
+
+# A handful of round-3-green canaries kept inside the round-4 window so a
+# regression in already-verified machinery (exchange core, joins, sessions,
+# IVF dedup) would still surface in the driver gate.
+_WINDOW_CANARIES = (
+    "doc_normalize_ws",       # markup → normalize scan path
+    "pricing_summary",        # partial-agg + coarse exchange (TPC-H Q1)
+    "events_sessions",        # sessionization window machinery
+    "emb_dedup_bucketed",     # IVF-bucketed near-dup (the 100-TB dedup path)
+)
+
+# Oracle-backed queries ADDED in round 4 — placed right after the canaries so
+# this round's riskiest new code gets a driver CORRECTNESS row immediately
+# (old never-verified entries they displace rotate in next round).
+_R4_NEW_PRIORITY = (
+    "emb_triangle_counts_bucketed",
+    "emb_kcore_bucketed",
+    "doc_dictionary_join",
+    "events_value_quantiles_by_type",
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    """Registry ordered oracle-backed-first.
+    """Registry ordered for maximal cumulative driver verification.
 
     The driver's correctness gate verifies only a prefix of this dict (the
-    first ~50 entries in iteration order), so every hash-verifiable
-    (oracle-backed) query is placed before the no-oracle entries — a
-    no-oracle row only gets a weak rows-only check anyway, while an
-    oracle-backed row past the window gets NO driver verification at all.
+    first ~50 entries in iteration order).  Round 3 proved the first 50;
+    round 4 rotates the window: a few green canaries first, then every
+    oracle-backed query that has NEVER had a driver CORRECTNESS row
+    (registry order — round-4 additions land here automatically), then the
+    remaining round-3-verified entries, then the no-oracle tail (those only
+    get a weak rows-only check anyway).
     """
     reg = _registry()
     with_oracle = set(oracle_sql())
-    ordered = {k: v for k, v in reg.items() if k in with_oracle}
-    ordered.update({k: v for k, v in reg.items() if k not in with_oracle})
-    return ordered
+    names = list(reg)
+    canaries = [k for k in _WINDOW_CANARIES if k in reg]
+    head = canaries + [
+        k for k in _R4_NEW_PRIORITY if k in reg and k in with_oracle
+    ]
+    never = [
+        k for k in names
+        if k in with_oracle
+        and k not in _R3_DRIVER_VERIFIED
+        and k not in head
+    ]
+    verified = [
+        k for k in names
+        if k in with_oracle and k in _R3_DRIVER_VERIFIED and k not in head
+    ]
+    tail = [k for k in names if k not in with_oracle]
+    return {k: reg[k] for k in head + never + verified + tail}
 
 
 def _registry() -> dict[str, Callable[[str], Any]]:
@@ -289,11 +351,17 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # per-node triangle counts over the undirected exact k-NN graph
         # (wedge generation + composite-key closure semi join)
         "emb_triangle_counts": lambda sf: E.emb_triangle_counts(sf),
+        # 100-TB twin: same triangle dataflow over the BUCKETED (IVF
+        # sub-quadratic) k-NN graph — inlined-centroid probed-subset oracle
+        "emb_triangle_counts_bucketed":
+            lambda sf: E.emb_triangle_counts_bucketed(sf),
         # distributed Lloyd k-means (streaming assignment passes, exact
         # int64 partial sums; n_iter-level generated SQL twin)
         "emb_kmeans": lambda sf: E.emb_kmeans(sf),
         # fixed-round k-core peel (iterative degree filter, unrolled oracle)
         "emb_kcore": lambda sf: E.emb_kcore(sf),
+        # 100-TB twin: same peel over the bucketed k-NN graph
+        "emb_kcore_bucketed": lambda sf: E.emb_kcore_bucketed(sf),
         # relational capability (groupby/join/sort/window)
         "pricing_summary": R.pricing_summary,
         "top_customers": lambda sf: R.top_customers(sf),
@@ -801,6 +869,73 @@ def _ivf_pagerank_oracle_sql(n_clusters: int = 16, n_assign: int = 2,
         r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn),
         {", ".join(rounds)}
         SELECT node, round(r, 6) AS pr FROM r3"""
+
+
+def _ivf_graph_cte(n_clusters: int = 16, n_assign: int = 2,
+                   k: int = 5) -> str:
+    """Shared CTE chain: inlined-centroid multi-assignment → probed-subset
+    candidate edges → exact-cosine rank → the bucketed k-NN edge set ``g``
+    (identical derivation to ``_ivf_knn_oracle_sql`` / the pagerank twin)."""
+    return f"""{_ivf_assign_cte(n_clusters, n_assign)},
+        cand AS (SELECT DISTINCT x.vec_id AS vid, y.vec_id AS nid
+                 FROM aa x JOIN aa y ON x.cid = y.cid
+                 AND x.vec_id <> y.vec_id),
+        scored AS (
+          SELECT vid AS vec_id, nid AS nn_id,
+                 round(list_cosine_similarity(a.v, d.v), 6) AS nn_sim
+          FROM cand JOIN b a ON a.vec_id = vid JOIN b d ON d.vec_id = nid),
+        g AS (SELECT vec_id, nn_id FROM (
+                SELECT vec_id, nn_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY nn_sim DESC, nn_id) AS rn
+                FROM scored) WHERE rn <= {k})"""
+
+
+def _ivf_triangles_oracle_sql(n_clusters: int = 16, n_assign: int = 2,
+                              k: int = 5) -> str:
+    """SQL twin of ``emb_triangle_counts_bucketed``: the probed-subset k-NN
+    edge set (``_ivf_graph_cte``) composed with the exact triangle count —
+    per apex, neighbor pairs that are themselves an edge."""
+    return f"""
+        WITH {_ivf_graph_cte(n_clusters, n_assign, k)},
+        und AS (SELECT DISTINCT least(vec_id, nn_id) AS u,
+                                greatest(vec_id, nn_id) AS v
+                FROM g),
+        sym AS (SELECT u AS apex, v AS nbr FROM und
+                UNION ALL SELECT v, u FROM und)
+        SELECT s1.apex AS node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM sym s1
+        JOIN sym s2 ON s1.apex = s2.apex AND s1.nbr < s2.nbr
+        JOIN und e ON e.u = s1.nbr AND e.v = s2.nbr
+        GROUP BY s1.apex"""
+
+
+def _ivf_kcore_oracle_sql(n_clusters: int = 16, n_assign: int = 2,
+                          k: int = 3, rounds: int = 3,
+                          knn_k: int = 5) -> str:
+    """SQL twin of ``emb_kcore_bucketed``: the probed-subset k-NN edge set
+    feeding the same fixed peeling rounds unrolled as chained CTEs (the
+    ``_kcore_oracle_sql`` round structure over the bucketed graph)."""
+    parts = [f"""
+        WITH {_ivf_graph_cte(n_clusters, n_assign, knn_k)},
+        e0 AS (SELECT DISTINCT least(vec_id, nn_id) AS u,
+                               greatest(vec_id, nn_id) AS v
+               FROM g)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""
+        d{i} AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                 FROM (SELECT u AS node FROM e{p}
+                       UNION ALL SELECT v FROM e{p}) GROUP BY node),
+        k{i} AS (SELECT node FROM d{i} WHERE deg >= {k}),
+        e{i} AS (SELECT e{p}.u, e{p}.v FROM e{p}
+                 JOIN k{i} a ON e{p}.u = a.node
+                 JOIN k{i} b ON e{p}.v = b.node)""")
+    final = f"""
+        SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT u AS node FROM e{rounds}
+              UNION ALL SELECT v FROM e{rounds}) GROUP BY node"""
+    return ",".join(parts) + final
 
 
 def _ivf_dedup_oracle_sql(n_clusters: int = 16, n_assign: int = 2,
@@ -2095,6 +2230,8 @@ def oracle_sql() -> dict[str, str]:
         out["emb_pagerank_bucketed"] = _ivf_pagerank_oracle_sql()
         out["emb_kmeans"] = _kmeans_oracle_sql()
         out["emb_kcore"] = _kcore_oracle_sql()
+        out["emb_triangle_counts_bucketed"] = _ivf_triangles_oracle_sql()
+        out["emb_kcore_bucketed"] = _ivf_kcore_oracle_sql()
     if os.path.exists(f"{_ORACLE_SF_DIR}/documents.parquet"):
         out["doc_mix_materialize"] = _mix_oracle_sql()
     return out

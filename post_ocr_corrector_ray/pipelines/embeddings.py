@@ -354,6 +354,35 @@ def emb_triangle_counts(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     return triangle_counts(edges, u_col="vec_id", v_col="nn_id")
 
 
+def emb_triangle_counts_bucketed(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Triangle counts over the BUCKETED (sub-quadratic) k-NN graph — the
+    100-TB twin of ``emb_triangle_counts``: ``knn_graph_bucketed`` (IVF
+    multi-assign candidates, never all pairs — reference analog: the pruned
+    NN scan, src/baselines/dictionary_corrector.py:86-98) feeds the same
+    apex-keyed wedge exchange + composite semi join.  Hash-verified by the
+    inlined-centroid probed-subset SQL twin (the ``emb_pagerank_bucketed``
+    oracle pattern)."""
+    from ..stages.components import triangle_counts
+
+    edges = emb_knn_graph_bucketed(sf_dir, k=k).map_batches(
+        lambda t: t.select(["vec_id", "nn_id"]), batch_format="pyarrow")
+    return triangle_counts(edges, u_col="vec_id", v_col="nn_id")
+
+
+def emb_kcore_bucketed(sf_dir: str, k: int = 3, rounds: int = 3,
+                       knn_k: int = 5) -> ray.data.Dataset:
+    """Fixed-round k-core peel over the BUCKETED k-NN graph — the 100-TB
+    twin of ``emb_kcore`` (same peeling dataflow, sub-quadratic graph
+    build), hash-verified by an oracle that re-derives the identical probed
+    graph from inlined centroids and unrolls the same rounds."""
+    from ..stages.components import kcore_peel
+
+    edges = emb_knn_graph_bucketed(sf_dir, k=knn_k).map_batches(
+        lambda t: t.select(["vec_id", "nn_id"]), batch_format="pyarrow")
+    return kcore_peel(edges, k=k, rounds=rounds,
+                      u_col="vec_id", v_col="nn_id")
+
+
 def emb_kmeans(sf_dir: str, n_clusters: int = 8, n_iter: int = 3) -> pa.Table:
     """Distributed Lloyd k-means over the full embedding table — the classic
     iterative-dataflow algorithm: per iteration ONE streaming assignment

@@ -190,3 +190,20 @@ def test_registry_orders_oracle_backed_first():
         else:
             assert not tail_started, f"oracle-backed {name!r} after a no-oracle entry"
     assert all(k in witho for k in q[:50])
+
+    # Round-4 window rotation: after the canaries, every entry that has never
+    # had a driver CORRECTNESS row (not in the frozen round-3 window) must
+    # precede all round-3-verified entries, so the driver's 50-entry prefix
+    # maximizes NEW cumulative verification each round.
+    canaries = list(entry._WINDOW_CANARIES)
+    assert q[: len(canaries)] == canaries
+    rest = [k for k in q if k in witho and k not in canaries]
+    seen_verified = False
+    for name in rest:
+        if name in entry._R3_DRIVER_VERIFIED:
+            seen_verified = True
+        else:
+            assert not seen_verified, (
+                f"never-driver-verified {name!r} ordered after a "
+                "round-3-verified entry"
+            )

@@ -471,3 +471,64 @@ class TestKMeansDistributed:
                            values="centroid").to_numpy()
         for c in centers:
             assert np.min(np.linalg.norm(learned - c, axis=1)) < 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBucketedGraphAlgos:
+    """emb_triangle_counts_bucketed / emb_kcore_bucketed — the 100-TB twins
+    of the exact-graph pipelines.  When every vector probes every cluster
+    (n_assign == n_clusters) the bucketed k-NN graph IS the exact graph, so
+    the downstream triangle/peel outputs must match exactly; the oracle
+    parity of the default (pruned) configuration is driver-verified at
+    sf0.01 (centroids inlined there)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _graphs(self, k=5):
+        import ray.data
+
+        ds = ray.data.read_parquet(f"{self.SF}/embeddings.parquet")
+        exact = em.knn_graph_blockwise(ds, k=k)
+        buck = em.knn_graph_bucketed(
+            ray.data.read_parquet(f"{self.SF}/embeddings.parquet"),
+            k=k, n_clusters=2, n_assign=2)
+        sel = lambda t: t.select(["vec_id", "nn_id"])  # noqa: E731
+        return (exact.map_batches(sel, batch_format="pyarrow"),
+                buck.map_batches(sel, batch_format="pyarrow"))
+
+    def test_exhaustive_probe_triangles_equal_exact(self):
+        from post_ocr_corrector_ray.stages.components import triangle_counts
+
+        exact_e, buck_e = self._graphs()
+        a = triangle_counts(exact_e, u_col="vec_id", v_col="nn_id") \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        b = triangle_counts(buck_e, u_col="vec_id", v_col="nn_id") \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert a["n_triangles"].sum() > 0
+
+    def test_exhaustive_probe_kcore_equal_exact(self):
+        from post_ocr_corrector_ray.stages.components import kcore_peel
+
+        exact_e, buck_e = self._graphs()
+        a = kcore_peel(exact_e, k=3, rounds=3, u_col="vec_id",
+                       v_col="nn_id") \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        b = kcore_peel(buck_e, k=3, rounds=3, u_col="vec_id",
+                       v_col="nn_id") \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0
+
+    def test_pipeline_defaults_run_and_shape(self):
+        from post_ocr_corrector_ray.pipelines.embeddings import (
+            emb_kcore_bucketed,
+            emb_triangle_counts_bucketed,
+        )
+
+        tri = emb_triangle_counts_bucketed(self.SF).to_pandas()
+        assert list(tri.columns) == ["node", "n_triangles"]
+        assert len(tri) > 0 and (tri["n_triangles"] >= 1).all()
+        core = emb_kcore_bucketed(self.SF).to_pandas()
+        assert list(core.columns) == ["node", "degree"]
+        assert (core["degree"] >= 3).all()
