@@ -49,6 +49,18 @@ def _emb_count(sf_dir: str) -> int:
     return pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
 
 
+def _graph_loop_partitions(n_edges: int) -> int:
+    """Exchange width for the iterative graph loops (PageRank, k-core): the
+    connected-components rule — adapt DOWN for toy graphs (Ray's fixed
+    per-exchange sort cost dominates a 64-wide exchange over a few thousand
+    edges; the 82.7→15.3 s k-core lesson) and UP with edge count through
+    ``partitions_for`` (~2M rows per reduce partition at 100-TB graph sizes).
+    Exactness is P-independent (all-key-equal rows co-locate at any width)."""
+    from ..stages.shuffle import partitions_for
+
+    return max(8, min(partitions_for(rows=n_edges), n_edges // 10_000 + 8))
+
+
 def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     """The query is a row of the table itself (so the SQL oracle can name it).
     Row-filter pushdown: only the one matching row-group row leaves storage."""
@@ -192,20 +204,22 @@ def emb_pagerank_bucketed(sf_dir: str, k: int = 5, d: float = 0.85,
         lambda t: pa.table({"src": t.column("vec_id"),
                             "dst": t.column("nn_id")}),
         batch_format="pyarrow"), 8)
+    # edge count is now known (pinned) — adapt the loop's exchange width
+    p = _graph_loop_partitions(raw_edges.count())
     od = grouped_agg(raw_edges.map_batches(
         lambda t: pa.table({"src": t.column("src"),
                             "c": pa.array(np.ones(t.num_rows, np.int64))}),
         batch_format="pyarrow"), ["src"], {"od": ("c", "sum")},
-        num_partitions=8)
+        num_partitions=p)
     edges = _pin(hash_join(raw_edges, od.map_batches(
         lambda t: pa.table({"odsrc": t.column("src"),
                             "od": t.column("od")}),
         batch_format="pyarrow"), on="src", right_on="odsrc", how="inner",
-        num_partitions=8), 8)
+        num_partitions=p), p)
     nodes = _pin(ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                        columns=["vec_id"]).map_batches(
         lambda t: pa.table({"node": t.column("vec_id")}),
-        batch_format="pyarrow"), 16)
+        batch_format="pyarrow"), max(16, p))
     ranks = nodes.map_batches(
         lambda t: pa.table({"node": t.column("node"),
                             "r": pa.array(np.full(t.num_rows, 1.0 / float(n)),
@@ -214,7 +228,7 @@ def emb_pagerank_bucketed(sf_dir: str, k: int = 5, d: float = 0.85,
 
     for _ in range(iters):
         per_edge = hash_join(edges, ranks, on="src", right_on="node",
-                             how="inner", num_partitions=8)
+                             how="inner", num_partitions=p)
 
         def contrib_partial(batch: pa.Table) -> pa.Table:
             df = pd.DataFrame({
@@ -235,7 +249,7 @@ def emb_pagerank_bucketed(sf_dir: str, k: int = 5, d: float = 0.85,
         agg = grouped_agg(per_edge.map_batches(contrib_partial,
                                                batch_format="pyarrow")
                           .union(zeros),
-                          ["dst"], {"rc": ("rc", "sum")}, num_partitions=8)
+                          ["dst"], {"rc": ("rc", "sum")}, num_partitions=p)
 
         def apply_rank(batch: pa.Table) -> pa.Table:
             s = batch.column("rc").to_numpy(zero_copy_only=False) \
@@ -245,7 +259,7 @@ def emb_pagerank_bucketed(sf_dir: str, k: int = 5, d: float = 0.85,
             return pa.table({"node": pa.array(dst, pa.int64()),
                              "r": pa.array(base + d * s, pa.float64())})
 
-        ranks = _pin(agg.map_batches(apply_rank, batch_format="pyarrow"), 4)
+        ranks = _pin(agg.map_batches(apply_rank, batch_format="pyarrow"), max(4, p // 2))
 
     out = ranks.to_pandas()
     res = pd.DataFrame({"node": out["node"].astype("int64"),
@@ -280,18 +294,18 @@ def emb_pagerank(sf_dir: str, k: int = 5, d: float = 0.85,
     n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     base = (1.0 - d) / float(n)
 
-    # the per-round exchanges move O(N·k) tiny rows — a handful of
-    # partitions keeps Ray's fixed per-exchange sort cost from dominating at
-    # bench scale while the coarse-hash contract (8 partitions of distinct
-    # keys) is unchanged; at real scale raise num_partitions with N
+    # the per-round exchanges move O(N·k) tiny rows — the exchange width
+    # adapts to the edge count (_graph_loop_partitions): a handful of
+    # partitions at bench scale, ~2M edges per reduce partition at real scale
     edges = _pin(emb_knn_graph(sf_dir, k).map_batches(
         lambda t: pa.table({"src": t.column("vec_id"),
                             "dst": t.column("nn_id")}),
         batch_format="pyarrow"), 8)
+    p = _graph_loop_partitions(n * k)
     nodes = _pin(ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                        columns=["vec_id"]).map_batches(
         lambda t: pa.table({"node": t.column("vec_id")}),
-        batch_format="pyarrow"), 16)
+        batch_format="pyarrow"), max(16, p))
     ranks = nodes.map_batches(
         lambda t: pa.table({"node": t.column("node"),
                             "r": pa.array(np.full(t.num_rows, 1.0 / float(n)),
@@ -300,7 +314,7 @@ def emb_pagerank(sf_dir: str, k: int = 5, d: float = 0.85,
 
     for _ in range(iters):
         per_edge = hash_join(edges, ranks, on="src", right_on="node",
-                             how="inner", num_partitions=8)
+                             how="inner", num_partitions=p)
 
         def contrib_partial(batch: pa.Table) -> pa.Table:
             df = pd.DataFrame({
@@ -322,7 +336,7 @@ def emb_pagerank(sf_dir: str, k: int = 5, d: float = 0.85,
         agg = grouped_agg(per_edge.map_batches(contrib_partial,
                                                batch_format="pyarrow")
                           .union(zeros),
-                          ["dst"], {"rc": ("rc", "sum")}, num_partitions=8)
+                          ["dst"], {"rc": ("rc", "sum")}, num_partitions=p)
 
         def apply_rank(batch: pa.Table) -> pa.Table:
             s = batch.column("rc").to_numpy(zero_copy_only=False) \
@@ -332,7 +346,7 @@ def emb_pagerank(sf_dir: str, k: int = 5, d: float = 0.85,
             return pa.table({"node": pa.array(dst, pa.int64()),
                              "r": pa.array(base + d * s, pa.float64())})
 
-        ranks = _pin(agg.map_batches(apply_rank, batch_format="pyarrow"), 4)
+        ranks = _pin(agg.map_batches(apply_rank, batch_format="pyarrow"), max(4, p // 2))
 
     out = ranks.to_pandas()
     res = pd.DataFrame({"node": out["node"].astype("int64"),

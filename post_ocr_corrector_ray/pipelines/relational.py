@@ -1386,17 +1386,26 @@ def promo_revenue_by_month(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
-def large_volume_orders(sf_dir: str, min_qty: float = 300.0) -> ray.data.Dataset:
+def large_volume_orders(sf_dir: str, min_qty: float = 300.0,
+                        broadcast_budget: int = 1_000_000) -> ray.data.Dataset:
     """TPC-H Q18-shaped: orders whose total line-item quantity exceeds
     ``min_qty``, with the ordering customer's name.  The quantity aggregate
     runs as exact integer centiquantities (pre-aggregated per batch before
-    ONE orderkey exchange); the HAVING filter's output is small by design
-    (its selectivity is the query's point), so the qualifying keys broadcast
+    ONE orderkey exchange); the HAVING output is usually small (its
+    selectivity is the query's point), so the qualifying keys broadcast
     (``ray.put``) and orders filter against them at the scan — the semi-join
-    pushdown — while customer names attach via a key-pruned point read.  An
-    UNselective threshold would flip the tail back to the co-partitioned
-    ``hash_join`` the engine also provides."""
-    from ..stages.shuffle import grouped_agg
+    pushdown — while customer names attach via a key-pruned point read.
+
+    The pushdown is GUARDED, not assumed: the HAVING output is pinned and
+    COUNTED first (one tiny extra pass over an already-aggregated table),
+    and above ``broadcast_budget`` qualifying keys the plan flips to the
+    co-partitioned ``hash_join`` tail — orders ⋈ qual on orderkey, then
+    ⋈ customer on custkey — so an unselective threshold never materializes
+    the qualifying set or the matched orders on the driver.  Both plans are
+    row-identical (pytest-pinned at a low threshold that forces the
+    fallback)."""
+    from ..stages.components import _pin
+    from ..stages.shuffle import grouped_agg, partitions_for
 
     thresh = int(round(min_qty * 100))
     lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
@@ -1414,17 +1423,9 @@ def large_volume_orders(sf_dir: str, min_qty: float = 300.0) -> ray.data.Dataset
     def having(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater(batch.column("qty_c"), thresh))
 
-    # HAVING output is small BY DESIGN (selectivity is the query's point, and
-    # the threshold governs it), so the qualifying keys broadcast and the
-    # orders scan filters against them — the semi-join pushdown that replaces
-    # two fact exchanges; the customer payload attaches via a key-pruned
-    # point read of only the qualifying custkeys
-    import pyarrow.parquet as pq
-
-    import ray as _ray
-
-    qual = totals.map_batches(having, batch_format="pyarrow").to_pandas()
-    if qual.empty:
+    qual_ds = _pin(totals.map_batches(having, batch_format="pyarrow"), 8)
+    n_qual = qual_ds.count()
+    if n_qual == 0:
         return ray.data.from_arrow(pa.table({
             "c_name": pa.array([], pa.string()),
             "o_custkey": pa.array([], pa.int64()),
@@ -1432,10 +1433,21 @@ def large_volume_orders(sf_dir: str, min_qty: float = 300.0) -> ray.data.Dataset
             "o_orderdate": pa.array([], pa.timestamp("us")),
             "o_totalprice": pa.array([], pa.float64()),
             "total_qty": pa.array([], pa.float64())}))
-    keys_ref = _ray.put(pa.array(qual["o_orderkey"].astype("int64"),
-                                 pa.int64()))
+
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    if n_qual > broadcast_budget:
+        return _large_volume_orders_joined(sf_dir, orders, qual_ds,
+                                           partitions_for(rows=n_qual))
+
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    qual = qual_ds.to_pandas()
+    keys_ref = _ray.put(pa.array(qual["o_orderkey"].astype("int64"),
+                                 pa.int64()))
 
     def filter_orders(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(batch.column("o_orderkey"),
@@ -1458,6 +1470,45 @@ def large_volume_orders(sf_dir: str, min_qty: float = 300.0) -> ray.data.Dataset
         "o_totalprice": df["o_totalprice"].astype("float64"),
         "total_qty": df["qty_c"].astype("int64") / 100.0})
     return ray.data.from_pandas(out)
+
+
+def _large_volume_orders_joined(sf_dir: str, orders: ray.data.Dataset,
+                                qual_ds: ray.data.Dataset,
+                                num_partitions: int) -> ray.data.Dataset:
+    """Q18 fallback tail for an UNselective HAVING: two co-partitioned hash
+    joins, nothing driver-side.  The timestamp payload crosses the tagged
+    union as int64 microseconds (hash_join's float53 contract is for ints;
+    epoch-micros fit 53 bits until the year 2255) and is restored after."""
+    from ..stages.joins import hash_join
+
+    def orders_enc(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+            "o_custkey": batch.column("o_custkey").cast(pa.int64()),
+            "od_us": batch.column("o_orderdate").cast(pa.timestamp("us"))
+                          .cast(pa.int64()),
+            "o_totalprice": batch.column("o_totalprice").cast(pa.float64())})
+
+    matched = hash_join(orders.map_batches(orders_enc, batch_format="pyarrow"),
+                        qual_ds, on="o_orderkey", how="inner",
+                        num_partitions=num_partitions)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = hash_join(matched, cust, on="o_custkey", right_on="c_custkey",
+                       how="inner", num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_name": batch.column("c_name"),
+            "o_custkey": batch.column("o_custkey").cast(pa.int64()),
+            "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+            "o_orderdate": batch.column("od_us").cast(pa.int64())
+                                .cast(pa.timestamp("us")),
+            "o_totalprice": batch.column("o_totalprice").cast(pa.float64()),
+            "total_qty": pc.divide(
+                batch.column("qty_c").cast(pa.int64()).cast(pa.float64()),
+                pa.scalar(100.0))})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def events_running_totals(sf_dir: str, window_rows: int = 3) -> ray.data.Dataset:

@@ -258,6 +258,26 @@ class TestRound3Edges:
                                   min_qty=10**9).to_pandas()
         assert len(out) == 0
 
+    def test_large_volume_orders_fallback_matches_broadcast(self, ray_session):
+        """A low threshold makes the HAVING unselective; budget=0 forces the
+        co-partitioned hash_join tail, which must be row-identical to the
+        broadcast pushdown (values, dtypes, timestamps)."""
+        from post_ocr_corrector_ray.pipelines.relational import large_volume_orders
+
+        sf = "/root/testdata/sf0.001"
+        kw = dict(min_qty=50.0)                       # huge qualifying set
+        cols = ["o_orderkey", "c_name", "o_custkey", "o_orderdate",
+                "o_totalprice", "total_qty"]
+
+        def canon(ds):
+            df = ds.to_pandas()[cols]
+            return df.sort_values("o_orderkey").reset_index(drop=True)
+
+        broad = canon(large_volume_orders(sf, broadcast_budget=10**9, **kw))
+        joined = canon(large_volume_orders(sf, broadcast_budget=0, **kw))
+        assert len(broad) > 100                        # fallback really fired
+        pd.testing.assert_frame_equal(broad, joined)
+
     def test_kmeans_empty_cluster_carries_init(self, ray_session):
         """k > distinct points: surplus clusters keep their init centroid and
         report n_members = 0."""
