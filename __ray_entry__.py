@@ -417,10 +417,10 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "doc_lang_weights": lambda sf: D.doc_lang_weights(sf),
         # materialized temperature mix: deterministic md5 residual coin,
         # flat-map repeat expansion
-        "doc_mix_materialize": lambda sf: D.doc_mix_materialize(sf),
+        "doc_mix_materialize": lambda sf: D.doc_mix_materialize(sf, hash_fn="md5"),
         # Efraimidis–Spirakis weighted sample (md5-derived u, combine-safe
         # top-k by u^(1/w))
-        "doc_weighted_sample": lambda sf: D.doc_weighted_sample(sf),
+        "doc_weighted_sample": lambda sf: D.doc_weighted_sample(sf, hash_fn="md5"),
         # cross-document exact span dedup (C4 / Lee et al. 2022 family):
         # gram-keyed removal exchange + doc-keyed rebuild — stages/spandedup.py
         "doc_span_dedup": lambda sf: D.doc_span_dedup(sf),
@@ -432,7 +432,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "doc_pack_assignments": lambda sf: D.doc_pack_assignments(sf),
         # deterministic global training shuffle: ROW_NUMBER over md5(doc_id)
         # via hash-prefix histogram offsets, no global sort
-        "doc_shuffle_order": lambda sf: D.doc_shuffle_order(sf),
+        "doc_shuffle_order": lambda sf: D.doc_shuffle_order(sf, hash_fn="md5"),
         # the composed end-to-end corpus-prep manifest: repetition filter ∘
         # exact dedup ∘ near-dup dedup ∘ decontamination ∘ packing, chained
         # as co-partitioned semi joins (pipelines/documents.py)

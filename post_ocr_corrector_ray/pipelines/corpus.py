@@ -16,8 +16,9 @@ Wide operations and their scale posture:
   partials, not raw tokens.
 - **split** (reference make_split_csv.py:23-32): the reference keys 80/10/10 on
   the 1-based line number modulo 10 (9→validation, 0→test).  A parallel engine
-  has no stable line number, so the split keys on ``stable_hash_u64(url) % 10``
-  with the same remainder→split mapping — deterministic, partition-invariant.
+  has no stable line number, so the split keys on a vectorized url hash
+  (``polyhash_u64_array(url) % 10``) with the same remainder→split mapping —
+  deterministic, partition-invariant, no per-row Python on the scan.
 """
 
 from __future__ import annotations
@@ -29,7 +30,6 @@ import pyarrow as pa
 import ray.data
 
 from ..functions.alphabet import build_alphabet
-from ..functions.hashing import stable_hash_u64
 from ..functions.text import tokenize_ws
 from ..model.dictionary import DictionaryCorrector
 from ..stages.extract import extract_batch
@@ -49,9 +49,23 @@ def pick_split(remainder: int) -> str:
 
 def add_split_column(batch: pa.Table, *, key_col: str = "url",
                      out_col: str = "split") -> pa.Table:
-    splits = [pick_split(stable_hash_u64(u) % 10)
-              for u in batch.column(key_col).to_pylist()]
-    return batch.append_column(out_col, pa.array(splits, pa.string()))
+    """80/10/10 split keyed on a VECTORIZED url hash (polyhash_u64_array —
+    the same scalar/vectorized-pinned hash the partition router uses; no
+    per-row Python on the scan).  Remainder → split mapping is the
+    reference's ``pick_split`` (make_split_csv.py:23-32), applied as two
+    numpy selects."""
+    import numpy as np
+
+    from ..functions.hashing import polyhash_u64_array
+
+    col = batch.column(key_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    rem = polyhash_u64_array(col) % np.uint64(10)
+    assert pick_split(9) == SPLIT_VAL and pick_split(0) == SPLIT_TEST
+    splits = np.where(rem == 9, SPLIT_VAL,
+                      np.where(rem == 0, SPLIT_TEST, SPLIT_TRAIN))
+    return batch.append_column(out_col, pa.array(splits.tolist(), pa.string()))
 
 
 def compute_alphabet(ds: ray.data.Dataset, text_col: str = "clean") -> str:

@@ -687,33 +687,60 @@ def doc_rank_by_length(sf_dir: str) -> ray.data.Dataset:
                        "n_chars", "doc_id")
 
 
-def doc_shuffle_order(sf_dir: str) -> ray.data.Dataset:
-    """Deterministic global training shuffle: every document's position in a
-    pseudorandom permutation, computed as ROW_NUMBER over md5(doc_id) with NO
-    global sort — the 16-bit hash prefix is the bounded histogram domain for
-    global_rank's base offsets, and the full hex digest breaks ties inside a
-    prefix bucket (hex-lexicographic == numeric on the prefix, so engine and
-    SQL agree).  The standard "shuffle once, shard deterministically" step of
-    an LLM training data pipeline; md5 is reproducible across runs/machines
-    (unlike seeded RNG state tied to block layout).  Per-row md5 of a short
-    id string is the same C-speed hashlib loop the exact-dedup content_hash
-    uses."""
-    import hashlib
+_SHUFFLE_SEED = 0x51AFF  # doc_shuffle_order's fast-path hash seed
 
+
+def doc_shuffle_order(sf_dir: str, *,
+                      hash_fn: str = "fast") -> ray.data.Dataset:
+    """Deterministic global training shuffle: every document's position in a
+    pseudorandom permutation, computed as ROW_NUMBER over hash(doc_id) with NO
+    global sort — the 16-bit hash prefix is the bounded histogram domain for
+    global_rank's base offsets, and the remaining hash bits break ties inside
+    a prefix bucket.  The standard "shuffle once, shard deterministically"
+    step of an LLM training data pipeline; the hash is reproducible across
+    runs/machines/block layouts (unlike seeded RNG state tied to layout).
+
+    ``hash_fn="fast"`` (DEFAULT): one vectorized splitmix64 mix of the int64
+    id column — no per-row Python on the scan.  ``hash_fn="md5"``: the
+    SQL-oracle twin (md5 is the only hash DuckDB shares; hex-lexicographic ==
+    numeric on the prefix, so engine and SQL agree) — per-row hashlib on a
+    short string, kept ONLY for driver verification."""
     from ..stages.quantiles import global_rank
 
-    def h(batch: pa.Table) -> pa.Table:
-        hx = [hashlib.md5(str(i).encode()).hexdigest()
-              for i in batch.column("doc_id").to_pylist()]
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "h16": pa.array([int(x[:4], 16) for x in hx], pa.int64()),
-            "hash_hex": pa.array(hx, pa.string()),
-        })
+    if hash_fn == "fast":
+        from ..functions.hashing import hash_u64_array
+
+        def h(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+                       .astype(np.uint64)
+            hv = hash_u64_array(ids, seed=_SHUFFLE_SEED)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "h16": pa.array((hv >> np.uint64(48)).astype(np.int64)),
+                "h_rest": pa.array(
+                    (hv & np.uint64((1 << 48) - 1)).astype(np.int64)),
+            })
+
+        tie = ["h_rest"]
+    elif hash_fn == "md5":
+        import hashlib
+
+        def h(batch: pa.Table) -> pa.Table:
+            hx = [hashlib.md5(str(i).encode()).hexdigest()
+                  for i in batch.column("doc_id").to_pylist()]
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "h16": pa.array([int(x[:4], 16) for x in hx], pa.int64()),
+                "hash_hex": pa.array(hx, pa.string()),
+            })
+
+        tie = ["hash_hex"]
+    else:
+        raise ValueError(f"doc_shuffle_order: unknown hash_fn={hash_fn!r}")
 
     ranked = global_rank(
         _docs(sf_dir, ["doc_id"]).map_batches(h, batch_format="pyarrow"),
-        "h16", "doc_id", tie_cols=["hash_hex"], rank_col="shuffle_rank")
+        "h16", "doc_id", tie_cols=tie, rank_col="shuffle_rank")
     return ranked.map_batches(
         lambda t: t.select(["doc_id", "shuffle_rank"]), batch_format="pyarrow")
 
@@ -1122,19 +1149,30 @@ def doc_token_entropy(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(entropy, batch_format="pyarrow")
 
 
-def doc_mix_materialize(sf_dir: str, alpha: float = 0.5) -> ray.data.Dataset:
+_MIX_SEED = 0x311C5  # doc_mix_materialize's fast-path hash seed
+
+
+def doc_mix_materialize(sf_dir: str, alpha: float = 0.5, *,
+                        hash_fn: str = "fast") -> ray.data.Dataset:
     """MATERIALIZED temperature mix: each document is emitted ``r`` times,
     where r = per-doc weight (doc_lang_weights' round-6 discipline) × corpus
     size — upsampled rare languages repeat ⌊r⌋ or ⌈r⌉ times, downsampled
     common ones keep a ⌊r⌋=0 + Bernoulli(frac) residual.  The residual coin
-    is a DETERMINISTIC md5 of the doc id (reproducible across runs, block
-    layouts and cluster sizes — never seeded RNG), compared against a per-
-    group threshold as a 48-bit integer; the SQL twin compares the same md5
-    prefix against the same threshold rendered in hex.  Flat-map shape: no
-    shuffle, output ~N rows regardless of the mix."""
+    is a DETERMINISTIC 48-bit hash of the doc id (reproducible across runs,
+    block layouts and cluster sizes — never seeded RNG), compared against a
+    per-group threshold.  ``hash_fn="fast"`` (DEFAULT) draws the coin from
+    one vectorized splitmix64 mix of the id column; ``hash_fn="md5"`` is the
+    SQL-oracle twin (the twin compares the same md5 prefix against the same
+    threshold rendered in hex) — per-row hashlib, kept ONLY for driver
+    verification.  Flat-map shape: no shuffle, output ~N rows regardless of
+    the mix."""
     import hashlib
 
+    from ..functions.hashing import hash_u64_array
     from ..stages.corpusprep import temperature_weights
+
+    if hash_fn not in ("fast", "md5"):
+        raise ValueError(f"doc_mix_materialize: unknown hash_fn={hash_fn!r}")
 
     docs = _docs(sf_dir, ["doc_id", "lang"])
 
@@ -1163,8 +1201,13 @@ def doc_mix_materialize(sf_dir: str, alpha: float = 0.5) -> ray.data.Dataset:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         idx = pc.index_in(batch.column("lang"), value_set=lang_vals) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
-        pref = np.array([int(hashlib.md5(f"{i}:mix".encode()).hexdigest()[:12],
-                             16) for i in ids], dtype=np.int64)
+        if hash_fn == "fast":
+            pref = (hash_u64_array(ids.astype(np.uint64), seed=_MIX_SEED)
+                    >> np.uint64(16)).astype(np.int64)
+        else:
+            pref = np.array(
+                [int(hashlib.md5(f"{i}:mix".encode()).hexdigest()[:12], 16)
+                 for i in ids], dtype=np.int64)
         n = base_arr[idx] + (pref < thr_arr[idx])
         rep = np.repeat(np.arange(len(ids)), n)
         ends = np.cumsum(n)
@@ -1178,25 +1221,41 @@ def doc_mix_materialize(sf_dir: str, alpha: float = 0.5) -> ray.data.Dataset:
     return docs.map_batches(expand, batch_format="pyarrow")
 
 
-def doc_weighted_sample(sf_dir: str, k: int = 32) -> pa.Table:
+_WSAMPLE_SEED = 0x35A17  # doc_weighted_sample's fast-path hash seed
+
+
+def doc_weighted_sample(sf_dir: str, k: int = 32, *,
+                        hash_fn: str = "fast") -> pa.Table:
     """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
-    each doc draws u ∈ (0,1) from a DETERMINISTIC 48-bit md5 of its id and
+    each doc draws u ∈ (0,1) from a DETERMINISTIC 48-bit hash of its id and
     competes with key u^(1/w) (w = n_chars) — the k largest keys are an
     exact weighted sample.  Top-k is combine-safe, so per-block local top-k
     partials → tiny driver merge; no shuffle, reproducible across layouts
-    and cluster sizes.  The SQL twin computes the identical key expression
-    (selection ties would need keys within 1 ulp of each other — md5 makes
-    that astronomically unlikely)."""
+    and cluster sizes.  ``hash_fn="fast"`` (DEFAULT) draws u from one
+    vectorized splitmix64 mix of the id column; ``hash_fn="md5"`` is the
+    SQL-oracle twin (the twin computes the identical md5 key expression;
+    selection ties would need keys within 1 ulp of each other — the hash
+    makes that astronomically unlikely) — per-row hashlib, kept ONLY for
+    driver verification."""
     import hashlib
 
+    from ..functions.hashing import hash_u64_array
+
+    if hash_fn not in ("fast", "md5"):
+        raise ValueError(f"doc_weighted_sample: unknown hash_fn={hash_fn!r}")
     docs = _docs(sf_dir, ["doc_id", "n_chars"])
 
     def local_topk(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         w = batch.column("n_chars").to_numpy(zero_copy_only=False) \
                  .astype(np.float64)
-        u = np.array([int(hashlib.md5(f"{i}:ws".encode()).hexdigest()[:12], 16)
-                      for i in ids], dtype=np.float64) / float(16**12)
+        if hash_fn == "fast":
+            u = (hash_u64_array(ids.astype(np.uint64), seed=_WSAMPLE_SEED)
+                 >> np.uint64(16)).astype(np.float64) / float(1 << 48)
+        else:
+            u = np.array(
+                [int(hashlib.md5(f"{i}:ws".encode()).hexdigest()[:12], 16)
+                 for i in ids], dtype=np.float64) / float(16**12)
         key = u ** (1.0 / np.maximum(w, 1.0))
         order = np.argsort(-key, kind="stable")[:k]
         return pa.table({"doc_id": pa.array(ids[order], pa.int64()),

@@ -293,3 +293,94 @@ class TestRound3Edges:
         members = out.groupby("cluster")["n_members"].first()
         assert int(members.sum()) == 10
         assert (members == 0).sum() >= 1          # surplus cluster(s) empty
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFastHashTwins:
+    """The scan-shaped sampling/shuffle ops default to a vectorized splitmix
+    hash; the md5 variants survive ONLY as SQL-oracle twins.  Both paths must
+    satisfy the same structural contract, and the fast paths must equal a
+    local scalar recompute (no hidden layout dependence)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_shuffle_order_both_paths_bijection(self):
+        from post_ocr_corrector_ray.pipelines.documents import doc_shuffle_order
+
+        for fn in ("fast", "md5"):
+            a = doc_shuffle_order(self.SF, hash_fn=fn).to_pandas() \
+                .sort_values("doc_id")
+            n = len(a)
+            assert sorted(a["shuffle_rank"]) == list(range(1, n + 1)), fn
+            assert a["shuffle_rank"].tolist() != list(range(1, n + 1)), fn
+
+    def test_shuffle_order_unknown_hash_fn_raises(self):
+        from post_ocr_corrector_ray.pipelines.documents import doc_shuffle_order
+
+        with pytest.raises(ValueError):
+            doc_shuffle_order(self.SF, hash_fn="sha999")
+
+    def test_weighted_sample_fast_matches_local_recompute(self):
+        """The distributed local-top-k + driver merge must equal a single
+        numpy recompute of the identical A-ES keys over the whole table."""
+        import pyarrow.parquet as pq
+
+        from post_ocr_corrector_ray.functions.hashing import hash_u64_array
+        from post_ocr_corrector_ray.pipelines.documents import (
+            _WSAMPLE_SEED, doc_weighted_sample)
+
+        k = 16
+        got = doc_weighted_sample(self.SF, k=k).to_pandas()
+        t = pq.read_table(f"{self.SF}/documents.parquet",
+                          columns=["doc_id", "n_chars"])
+        ids = t.column("doc_id").to_numpy()
+        w = t.column("n_chars").to_numpy().astype(np.float64)
+        u = (hash_u64_array(ids.astype(np.uint64), seed=_WSAMPLE_SEED)
+             >> np.uint64(16)).astype(np.float64) / float(1 << 48)
+        key = u ** (1.0 / np.maximum(w, 1.0))
+        order = np.lexsort((ids, -key))[:k]
+        assert got["doc_id"].tolist() == ids[order].tolist()
+
+    def test_mix_materialize_fast_copy_semantics(self, tmp_path):
+        """Fast-hash mix keeps the copy contract (copy_ids exactly 1..n,
+        per-lang totals within 1 of r x count is covered by the md5 test —
+        here pin determinism and the residual-coin bound base<=n<=base+1)."""
+        import pyarrow.parquet as pq
+
+        from post_ocr_corrector_ray.pipelines.documents import doc_mix_materialize
+
+        rows = [(i, "aa" if i < 90 else "bb") for i in range(100)]
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array(["x"] * 100, pa.string()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array(["s"] * 100, pa.string()),
+            "n_chars": pa.array([1] * 100, pa.int64())})
+        pq.write_table(t, f"{tmp_path}/documents.parquet")
+        out = doc_mix_materialize(str(tmp_path), hash_fn="fast").to_pandas()
+        out2 = doc_mix_materialize(str(tmp_path), hash_fn="fast").to_pandas()
+        pd.testing.assert_frame_equal(
+            out.sort_values(["doc_id", "copy_id"]).reset_index(drop=True),
+            out2.sort_values(["doc_id", "copy_id"]).reset_index(drop=True))
+        per_doc = out.groupby("doc_id")["copy_id"].agg(["min", "max", "size"])
+        assert (per_doc["min"] == 1).all()
+        assert (per_doc["max"] == per_doc["size"]).all()
+        # copy counts per doc differ between docs of the SAME lang by <= 1
+        # (floor vs ceil of the same r) — the residual-coin contract
+        sizes = out.merge(
+            pd.DataFrame({"doc_id": [r[0] for r in rows],
+                          "lang0": [r[1] for r in rows]}), on="doc_id")
+        spread = sizes.groupby(["lang0", "doc_id"]).size().groupby("lang0") \
+                      .agg(["min", "max"])
+        assert ((spread["max"] - spread["min"]) <= 1).all()
+
+    def test_add_split_column_vectorized_matches_scalar(self):
+        from post_ocr_corrector_ray.functions.hashing import polyhash_u64
+        from post_ocr_corrector_ray.pipelines.corpus import (
+            add_split_column, pick_split)
+
+        urls = [f"https://ex.example/{i}" for i in range(257)] + ["", "x"]
+        batch = pa.table({"url": pa.array(urls, pa.string())})
+        got = add_split_column(batch).column("split").to_pylist()
+        want = [pick_split(polyhash_u64(u.encode("utf-8")) % 10) for u in urls]
+        assert got == want
