@@ -525,6 +525,15 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # rank-error pytest-pinned — stages/quantiles.py)
         "events_value_quantiles_sketch":
             lambda sf: R.events_value_quantiles_sketch(sf),
+        # per-type EXACT quantiles (oracle-backed; quantile_disc semantics
+        # over exact integer cents — the events_value_mad discipline)
+        "events_value_quantiles_by_type":
+            lambda sf: R.events_value_quantiles_by_type(sf),
+        # per-type GROUPED KLL sketches (continuous-value twin of the exact
+        # grouped histogram; approximate → no SQL oracle, per-group rank
+        # error pytest-pinned — stages/quantiles.py)
+        "events_value_quantiles_sketch_by_type":
+            lambda sf: R.events_value_quantiles_sketch_by_type(sf),
         # HLL-per-bucket rolling DAU (sketch twin of the window-replication
         # exact path: mergeable registers make the window union free; accuracy
         # pytest-pinned vs exact — no SQL oracle)
@@ -2057,6 +2066,19 @@ def oracle_sql() -> dict[str, str]:
                    / 100.0 AS mad_value
             FROM x JOIN m USING (event_type)
             GROUP BY x.event_type, m.med""",
+        # per-type exact quantile_disc over exact integer cents (shared rank
+        # semantics with stages/quantiles.py::grouped_exact_quantiles)
+        "events_value_quantiles_by_type": """
+            WITH x AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS v
+                       FROM events),
+            g AS (SELECT event_type,
+                         quantile_disc(v, [0.1,0.25,0.5,0.75,0.9]) AS vs
+                  FROM x GROUP BY event_type)
+            SELECT event_type,
+                   unnest([0.1,0.25,0.5,0.75,0.9]) AS q,
+                   CAST(unnest(vs) AS BIGINT) / 100.0 AS value
+            FROM g""",
         # trailing-24h distinct users per observed hour bucket
         "events_rolling_active_users": """
             WITH uh AS (SELECT DISTINCT user_id,

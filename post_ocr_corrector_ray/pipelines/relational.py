@@ -1029,6 +1029,48 @@ def events_value_quantiles_sketch(sf_dir: str) -> pa.Table:
     return sketch_quantiles(ds, "value", [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
 
 
+def events_value_quantiles_sketch_by_type(sf_dir: str) -> pa.Table:
+    """Per-event-type approximate value quantiles via GROUPED mergeable KLL
+    sketches (stages/quantiles.py::grouped_sketch_quantiles) — the
+    continuous-value twin of the grouped exact histogram, shuffle-free:
+    each block ships one tiny sketch per type it saw, the driver merges per
+    type.  Approximate by design → no SQL oracle; per-group rank error vs
+    exact is pytest-pinned."""
+    from ..stages.quantiles import grouped_sketch_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_sketch_quantiles(ds, "event_type", "value",
+                                    [0.1, 0.25, 0.5, 0.75, 0.9])
+
+
+def events_value_quantiles_by_type(sf_dir: str) -> pa.Table:
+    """Per-event-type EXACT value quantiles — the oracle-backed exact twin of
+    ``events_value_quantiles_sketch_by_type``: the grouped mergeable
+    histogram over exact integer cents (the events_value_mad discipline —
+    quantile_disc rank semantics, rank = ceil(q·n), shared with the SQL
+    twin), converted back to currency at the edge.  The shuffle moves
+    (type, cents)→count partials, never raw rows."""
+    from ..stages.quantiles import grouped_exact_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch.column("event_type"),
+                         "v": pa.array(_cents(batch.column("value")),
+                                       pa.int64())})
+
+    got = grouped_exact_quantiles(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "v", "event_type", [0.1, 0.25, 0.5, 0.75, 0.9]).to_pandas()
+    res = pd.DataFrame({
+        "event_type": got["event_type"],
+        "q": got["q"].astype("float64"),
+        "value": got["value"].astype("int64") / 100.0})
+    return pa.Table.from_pandas(
+        res.sort_values(["event_type", "q"]).reset_index(drop=True),
+        preserve_index=False)
+
+
 def events_value_mad(sf_dir: str) -> pa.Table:
     """Median absolute deviation of value per event_type — the robust-spread
     statistic as a TWO-PASS composition of the mergeable grouped quantile

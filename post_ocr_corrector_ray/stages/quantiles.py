@@ -299,3 +299,69 @@ def sketch_quantiles(ds: ray.data.Dataset, col: str, qs: list[float], *,
     return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),
                      "value": pa.array([merged.quantile(q) for q in qs],
                                        pa.float64())})
+
+
+def grouped_sketch_quantiles(ds: ray.data.Dataset, key_col: str, col: str,
+                             qs: list[float], *, k: int = 256) -> pa.Table:
+    """Per-key mergeable KLL sketches — the continuous-value twin of
+    ``grouped_exact_quantiles`` (whose driver histogram is O(groups ×
+    DISTINCT VALUES) and breaks on continuous columns), and the KLL sibling
+    of ``sketches.hll_registers_by_key``: each block emits one serialized
+    sketch per distinct key it contains (key, level, value, n — ``n`` on the
+    sketch's first row only, the Misra–Gries n_stream trick, so sketches
+    concatenate safely inside a transport batch), the driver merges per key.
+
+    Driver memory is O(keys · k·log(n/k)) — the group key is assumed
+    dimension-sized (event types, languages, sources); at corpus-scale key
+    cardinality the same merge runs as one coarse key-grouped aggregate over
+    the sketch rows (identical level-concat + compress algebra), which is why
+    the sketch travels as plain columns.  Returns (key, q, value), keys
+    sorted.  Item weights live in the level index (2^level), so
+    concatenating level arrays across block sketches of the same key is
+    itself a valid merge; ``n`` is bookkeeping only."""
+
+    def block_sketch(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        vals = batch.column(col).to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+        out = []
+        for kv in pd.unique(keys):
+            s = KllSketch(k)
+            s.update(vals[keys == kv])
+            t = s.to_table()
+            n_first = np.zeros(t.num_rows, np.int64)
+            if t.num_rows:
+                n_first[0] = s.n
+            out.append(pa.table({
+                "key": pa.array([kv] * t.num_rows),
+                "level": t.column("level"),
+                "value": t.column("value"),
+                "n": pa.array(n_first, pa.int64())}))
+        if not out:
+            return pa.table({"key": batch.column(key_col).slice(0, 0),
+                             "level": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.concat_tables(out)
+
+    merged: dict = {}
+    for b in ds.map_batches(block_sketch, batch_format="pyarrow") \
+               .iter_batches(batch_size=65536, batch_format="pandas"):
+        for kv, grp in b.groupby("key", sort=False):
+            part = KllSketch.from_rows(grp["level"].to_numpy(np.int64),
+                                       grp["value"].to_numpy(np.float64),
+                                       int(grp["n"].sum()), k=k)
+            if kv in merged:
+                merged[kv].merge(part)
+            else:
+                part._compress()
+                merged[kv] = part
+    out_k, out_q, out_v = [], [], []
+    for kv in sorted(merged):
+        for q in qs:
+            out_k.append(kv)
+            out_q.append(float(q))
+            out_v.append(merged[kv].quantile(q))
+    return pa.table({key_col: pa.array(out_k),
+                     "q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.float64())})

@@ -446,6 +446,51 @@ class TestKllSketch:
         out = sketch_quantiles(empty, "v", [0.5]).to_pandas()
         assert np.isnan(out["value"].iloc[0])
 
+    def test_grouped_sketch_rank_error_vs_exact_per_group(self):
+        """Per-key KLL: every group's sketch quantile lands within 2% rank
+        error of that group's OWN sorted values — including a small group
+        (exactly representable) next to two big skewed ones."""
+        import ray.data
+
+        from post_ocr_corrector_ray.stages.quantiles import (
+            grouped_sketch_quantiles)
+
+        rng = np.random.default_rng(7)
+        parts = {
+            "big_lognorm": rng.lognormal(0.0, 2.0, 60_000),
+            "big_uniform": rng.uniform(-5.0, 5.0, 40_000),
+            "tiny": np.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+        }
+        keys = np.concatenate([np.repeat(k, len(v)) for k, v in parts.items()])
+        vals = np.concatenate(list(parts.values()))
+        perm = rng.permutation(len(vals))       # interleave groups across blocks
+        ds = ray.data.from_arrow(pa.table({
+            "key": pa.array(keys[perm]),
+            "v": pa.array(vals[perm], pa.float64())})).repartition(16)
+        got = grouped_sketch_quantiles(ds, "key", "v",
+                                       [0.1, 0.5, 0.9], k=256).to_pandas()
+        assert sorted(got["key"].unique()) == sorted(parts)
+        for r in got.itertuples():
+            xs = np.sort(parts[r.key])
+            rank_err = abs(np.searchsorted(xs, r.value) / len(xs) - r.q)
+            tol = 0.02 if len(xs) > 1000 else 0.21   # tiny group: exact ±1 item
+            assert rank_err <= tol, (r.key, r.q, rank_err)
+        # the 5-item group never compacts → its median is exactly 3.0
+        tiny_med = got[(got.key == "tiny") & (got.q == 0.5)]["value"].iloc[0]
+        assert tiny_med == 3.0
+
+    def test_grouped_sketch_empty_and_null_keys(self):
+        import ray.data
+
+        from post_ocr_corrector_ray.stages.quantiles import (
+            grouped_sketch_quantiles)
+
+        empty = ray.data.from_arrow(pa.table({
+            "key": pa.array([], pa.string()),
+            "v": pa.array([], pa.float64())}))
+        out = grouped_sketch_quantiles(empty, "key", "v", [0.5]).to_pandas()
+        assert len(out) == 0
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestSaltedJoin:
