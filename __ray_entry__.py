@@ -293,6 +293,10 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "doc_normalize_ws": D.doc_normalize_ws,
         "doc_all_chars": lambda sf: D.doc_all_chars(sf),
         "doc_token_counts": D.doc_token_counts,
+        # partitioned token-lookup dictionary correction (unbroadcastable-
+        # vocab twin of the broadcast corrector; lev = the SQL-shared metric,
+        # osa byte-identity vs broadcast is pytest-pinned)
+        "doc_dictionary_join": lambda sf: D.doc_dictionary_join(sf),
         "doc_split_assignment": D.doc_split_assignment,
         "doc_lev_reverse": D.doc_lev_reverse,
         "doc_markup_roundtrip": D.doc_markup_roundtrip,
@@ -1189,6 +1193,41 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
                   FROM documents WHERE trim(text) <> '')
             GROUP BY w""",
+        # partitioned dictionary correction, lev metric (the only metric
+        # DuckDB shares — damerau_levenshtein is unrestricted DL, not OSA);
+        # winner order mirrors stages/dictjoin.py::_reduce_best
+        "doc_dictionary_join": r"""
+            WITH docs AS (SELECT doc_id,
+                                 CASE WHEN trim(text) = ''
+                                      THEN CAST([] AS VARCHAR[])
+                                      ELSE regexp_split_to_array(trim(text),
+                                                                 '\s+')
+                                 END AS ws
+                          FROM documents),
+            toks AS (SELECT doc_id, unnest(ws) AS token,
+                            generate_subscripts(ws, 1) AS pos
+                     FROM docs),
+            vocab AS (SELECT token AS vtok, CAST(count(*) AS BIGINT) AS freq
+                      FROM toks GROUP BY token HAVING count(*) >= 2),
+            oov AS (SELECT DISTINCT token FROM toks
+                    WHERE token NOT IN (SELECT vtok FROM vocab)),
+            best AS (SELECT o.token, v.vtok,
+                            levenshtein(o.token, v.vtok) AS d, v.freq,
+                            abs(length(v.vtok) - length(o.token)) AS dl,
+                            length(v.vtok) AS cl
+                     FROM oov o CROSS JOIN vocab v),
+            corr AS (SELECT token, vtok AS ctok FROM (
+                        SELECT token, vtok,
+                               row_number() OVER (PARTITION BY token
+                                   ORDER BY d, freq DESC, dl, cl, vtok) AS rn
+                        FROM best) WHERE rn = 1)
+            SELECT d.doc_id,
+                   coalesce(string_agg(coalesce(c.ctok, t.token), ' '
+                                       ORDER BY t.pos), '') AS corrected
+            FROM docs d
+            LEFT JOIN toks t USING (doc_id)
+            LEFT JOIN corr c ON t.token = c.token
+            GROUP BY d.doc_id""",
         "doc_split_assignment": """
             SELECT doc_id,
                    CASE WHEN doc_id % 10 = 9 THEN 'validation'

@@ -165,7 +165,8 @@ def levenshtein(s1: str, s2: str) -> int:
     return int(prev[-1])
 
 
-def edit_distance_batch(query: str, candidates: list[str]) -> np.ndarray:
+def edit_distance_batch(query: str, candidates: list[str], *,
+                        transpositions: bool = True) -> np.ndarray:
     """OSA distance from ``query`` to each candidate, DP batched across candidates.
 
     All candidates are padded to the max candidate length with a sentinel that
@@ -173,6 +174,11 @@ def edit_distance_batch(query: str, candidates: list[str]) -> np.ndarray:
     work is NumPy-vectorized across the whole candidate set.  This is the hot
     kernel of the dictionary corrector's nearest-word scan (reference
     dictionary_corrector.py:86-98 does a Python-level scan per vocab entry).
+
+    ``transpositions=False`` drops the swap transition → plain Levenshtein
+    (the SQL-oracle twin metric of the partitioned dictionary join: DuckDB's
+    ``damerau_levenshtein`` is the UNRESTRICTED variant, not OSA, so
+    ``levenshtein`` is the only shared metric).
     """
     if not candidates:
         return np.empty(0, dtype=np.int64)
@@ -195,7 +201,7 @@ def edit_distance_batch(query: str, candidates: list[str]) -> np.ndarray:
         cand = np.empty((k, n_max + 1), dtype=np.int64)
         cand[:, 0] = prev[:, 0] + 1
         cand[:, 1:] = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + sub)
-        if i >= 2:
+        if transpositions and i >= 2:
             swap_ok = (cmat[:, :-1] == q[i - 1]) & (cmat[:, 1:] == q[i - 2])
             swap = prev2[:, :-2] + COST_SWAP
             cand[:, 2:] = np.minimum(cand[:, 2:], np.where(swap_ok, swap, _BIG))

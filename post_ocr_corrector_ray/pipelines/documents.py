@@ -68,6 +68,27 @@ def doc_token_counts(sf_dir: str) -> ray.data.Dataset:
                         num_partitions=p)
 
 
+def doc_dictionary_join(sf_dir: str, min_frequency: int = 2,
+                        metric: str = "lev") -> ray.data.Dataset:
+    """Dictionary correction with the vocabulary as a DATASET — the
+    partitioned token-lookup twin of the broadcast DictionaryCorrector
+    (stages/dictjoin.py): tokens ⋈ vocab membership join, sharded
+    nearest-word scan over distinct OOV tokens, positional rebuild.  Here
+    the corpus corrects against its OWN ≥ ``min_frequency`` token census
+    (singleton tokens snap to their nearest frequent word — corpus
+    spell-normalization).  ``metric="lev"`` is the SQL-shared metric (the
+    oracle's levenshtein); byte-identity of ``metric="osa"`` vs the
+    broadcast corrector is pytest-pinned.  Returns (doc_id, corrected)."""
+    from ..stages.dictjoin import dictionary_correct_joined
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    vocab = doc_token_counts(sf_dir)
+    return dictionary_correct_joined(docs, vocab, id_col="doc_id",
+                                     text_col="text",
+                                     min_frequency=min_frequency,
+                                     metric=metric)
+
+
 def doc_split_assignment(sf_dir: str) -> ray.data.Dataset:
     """80/10/10 split keyed on the stable row id (doc_id % 10 — the direct
     analog of the reference's line-number modulo, make_split_csv.py:23-32)."""
