@@ -79,6 +79,12 @@ def run_benchmarks() -> dict:
                                                      batch_format="pyarrow"))
     headline = time.time() - t0
     timings["flagship_extract_correct"] = round(headline, 3)
+    # per-stage attribution (BENCH.out.json only — regressions in the
+    # driver-recorded headline must be attributable to a stage, not prose)
+    try:
+        flagship_stats = ds.stats()
+    except Exception as e:  # stats are diagnostics; never fail the bench
+        flagship_stats = f"<ds.stats() unavailable: {e}>"
 
     bench_queries = [] if os.environ.get("GRAFT_HEADLINE_ONLY") else [
         "pricing_summary", "top_customers", "order_priority_counts",
@@ -128,6 +134,9 @@ def run_benchmarks() -> dict:
         "events_pairs_within", "emb_kcore", "events_asof_next_order",
         "doc_weighted_sample", "events_rolling_median",
         "events_distinct_users_per_type_hll",
+        "emb_triangle_counts_bucketed", "emb_kcore_bucketed",
+        "doc_dictionary_join", "events_value_quantiles_by_type",
+        "events_value_quantiles_sketch_by_type",
     ]
     # Each query is timed as the best of two consecutive runs: the first
     # execution in a session pays Ray worker-pool spin-up and parquet
@@ -158,6 +167,7 @@ def run_benchmarks() -> dict:
         "num_cpus": NUM_CPUS,
         "n_pages": n_pages,
         "docs_per_sec": round(n_rows / headline, 2) if headline > 0 else None,
+        "flagship_stats": flagship_stats,
     }
 
 
@@ -199,6 +209,7 @@ def _emit(rec: dict) -> None:
         json.dump(rec, f, indent=1, sort_keys=True)
         f.write("\n")
     line = dict(rec)
+    line.pop("flagship_stats", None)   # stage breakdown lives in the file only
     qs = line.get("queries")
     if isinstance(qs, dict) and len(qs) > _PRINT_QUERY_CAP:
         slowest = dict(sorted(qs.items(), key=lambda kv: -kv[1])[:_PRINT_QUERY_CAP])

@@ -148,26 +148,53 @@ def dictionary_correct_joined(corpus: ray.data.Dataset,
     from ..functions.hashing import polyhash_u64_array
     from .joins import hash_join
 
+    from .components import _pin
+
     if metric not in ("osa", "lev"):
         raise ValueError(f"dictionary_correct_joined: unknown metric={metric!r}")
     transpositions = metric == "osa"
     p = (partitions_for() if num_partitions is None else int(num_partitions))
 
-    vocab = vocab.map_batches(
+    # vocab is consumed twice (membership marker + shard scan) — pin the
+    # pruned table so the frequency filter doesn't re-run per consumer
+    vocab = _pin(vocab.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("frequency"),
                                             min_frequency)),
-        batch_format="pyarrow")
+        batch_format="pyarrow"), p)
 
-    toks = tokenize_occurrences(corpus, id_col=id_col, text_col=text_col)
+    # tokenize ONCE, pin: Ray datasets re-execute their upstream per
+    # consumer, and the token table feeds the membership join, the OOV
+    # rebuild join and the sentinel passthrough
+    toks = _pin(tokenize_occurrences(corpus, id_col=id_col,
+                                     text_col=text_col), p)
     sentinels = toks.filter(expr="pos == -1")
     words = toks.filter(expr="pos >= 0")
 
-    in_vocab = hash_join(words, vocab.map_batches(
-        lambda t: t.select(["token"]), batch_format="pyarrow"),
-        on="token", how="semi", num_partitions=p)
-    oov = hash_join(words, vocab.map_batches(
-        lambda t: t.select(["token"]), batch_format="pyarrow"),
-        on="token", how="anti", num_partitions=p)
+    # membership as ONE co-partitioned exchange (left join against a 1-byte
+    # marker), pinned — the semi/anti pair would ship the occurrence table
+    # through two full exchanges
+    marker = vocab.map_batches(
+        lambda t: pa.table({"token": t.column("token"),
+                            "_inv": pa.array(
+                                np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    marked = _pin(hash_join(words, marker, on="token", how="left",
+                            num_partitions=p), p)
+
+    # an EMPTY vocab makes the left join degenerate (right columns omitted —
+    # stages/joins.py guard): no _inv column means every word is OOV
+    def _is_in(batch: pa.Table) -> pa.Table:
+        if "_inv" not in batch.column_names:
+            return batch.slice(0, 0)
+        return batch.filter(pc.is_valid(batch.column("_inv")))
+
+    def _is_oov(batch: pa.Table) -> pa.Table:
+        if "_inv" not in batch.column_names:
+            return batch
+        return batch.filter(pc.is_null(batch.column("_inv")))
+
+    in_vocab = marked.map_batches(_is_in, batch_format="pyarrow")
+    oov = marked.map_batches(_is_oov, batch_format="pyarrow")
 
     oov_tokens = distinct_rows(oov.map_batches(
         lambda t: t.select(["token"]), batch_format="pyarrow"),
@@ -199,19 +226,30 @@ def dictionary_correct_joined(corpus: ray.data.Dataset,
                          "frequency": pa.array(
                              np.zeros(n * vocab_shards, np.int64))})
 
-    tagged = vocab.map_batches(tag_vocab, batch_format="pyarrow") \
-        .union(oov_tokens.map_batches(replicate_oov, batch_format="pyarrow"))
-    local_best = grouped_apply(
-        tagged, ["shard"],
-        lambda df: _scan_partition(df, transpositions=transpositions),
-        num_partitions=min(p, vocab_shards))
-    corrections = grouped_apply(local_best, ["token"], _reduce_best,
-                                num_partitions=p)
+    oov_tokens = _pin(oov_tokens, min(p, vocab_shards))
+    if oov_tokens.count() == 0:
+        # nothing unknown (or nothing tokenized): skip the scan exchanges
+        corrected_oov = oov.map_batches(
+            lambda t: pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                                "pos": t.column("pos").cast(pa.int64()),
+                                "token": t.column("token"),
+                                "cand": pa.nulls(t.num_rows, pa.string())}),
+            batch_format="pyarrow")
+    else:
+        tagged = vocab.map_batches(tag_vocab, batch_format="pyarrow") \
+            .union(oov_tokens.map_batches(replicate_oov,
+                                          batch_format="pyarrow"))
+        local_best = grouped_apply(
+            tagged, ["shard"],
+            lambda df: _scan_partition(df, transpositions=transpositions),
+            num_partitions=min(p, vocab_shards))
+        corrections = grouped_apply(local_best, ["token"], _reduce_best,
+                                    num_partitions=p)
 
-    # rebuild: left join + coalesce (empty vocab → raw token passthrough,
-    # the broadcast path's documented deviation)
-    corrected_oov = hash_join(oov, corrections, on="token", how="left",
-                              num_partitions=p)
+        # rebuild: left join + coalesce (empty vocab → raw token
+        # passthrough, the broadcast path's documented deviation)
+        corrected_oov = hash_join(oov, corrections, on="token", how="left",
+                                  num_partitions=p)
 
     def coalesce(batch: pa.Table) -> pa.Table:
         cand = batch.column("cand") if "cand" in batch.column_names \
