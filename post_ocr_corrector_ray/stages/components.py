@@ -421,10 +421,15 @@ def triangle_counts(pairs: ray.data.Dataset, *, u_col: str = "id_a",
     from .joins import hash_join
     from .shuffle import distinct_rows, grouped_agg
 
-    und = distinct_rows(
+    # the edge set feeds BOTH the wedge exchange and the closure semi join —
+    # pin it or the (possibly expensive) upstream graph build executes twice;
+    # then adapt the exchange width to the now-known edge count (the
+    # kcore_peel / connected_components rule)
+    und = _pin(distinct_rows(
         pairs.map_batches(_normalize_undirected(u_col, v_col, check_range=True),
                           batch_format="pyarrow"),
-        ["u", "v"], num_partitions=num_partitions)
+        ["u", "v"], num_partitions=num_partitions), num_partitions)
+    num_partitions = max(8, min(num_partitions, und.count() // 10_000 + 8))
 
     def sym(batch: pa.Table) -> pa.Table:
         u = batch.column("u").to_numpy(zero_copy_only=False)
