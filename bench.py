@@ -73,8 +73,17 @@ def run_benchmarks() -> dict:
 
     # headline: flagship extract+correct, fully consumed (streamed, not collected)
     t0 = time.time()
+    # actor pool sized PROPORTIONALLY to num_cpus (3/4 of slots, ≥2 slots
+    # left for the task-based read/extract stages).  Two failure modes this
+    # formula fixes, both observed: at num_cpus=2 a flat 2-actor pool
+    # reserves EVERY slot and the input operator starves forever (0 blocks
+    # after an hour); and a non-constant actor:cpu ratio across scaling legs
+    # (2 actors @4 cpus vs 14 @16 under the old max(2, cpus-2)) measures the
+    # concurrency formula, not the pipeline — a 4→16 pair read a nonsense
+    # 1.67 "efficiency" that way.
     ds = entry._flagship(n_pages=n_pages, batch_size=8,
-                         concurrency=max(2, NUM_CPUS - 2))
+                         concurrency=max(1, min(NUM_CPUS - 2,
+                                                (NUM_CPUS * 3) // 4)))
     n_rows = sum(b.num_rows for b in ds.iter_batches(batch_size=4096,
                                                      batch_format="pyarrow"))
     headline = time.time() - t0
@@ -171,9 +180,42 @@ def run_benchmarks() -> dict:
     }
 
 
-def run_scaling() -> dict:
+def _burn(_):
+    """2-second pure-Python busy loop (module-level: multiprocessing pickles
+    the callable by reference)."""
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 2.0:
+        x += 1
+    return x
+
+
+def _cpu_calibration(levels: tuple[int, ...]) -> dict:
+    """Raw CPU-scaling ceiling of the host RIGHT NOW: pure-Python busy loops
+    under multiprocessing at each level, reported as iterations/sec.  The
+    sandbox is a shared VM whose effective core count varies (SMT + noisy
+    neighbors); pipeline scaling efficiency is only interpretable next to
+    what the HARDWARE delivered for embarrassingly-parallel work in the same
+    session."""
+    import multiprocessing as mp
+
+    burn = _burn
     out = {}
-    for ncpu in (8, 32):
+    for n in sorted(set(levels)):
+        with mp.Pool(n) as pool:
+            t0 = time.time()
+            total = sum(pool.map(burn, range(n)))
+            wall = time.time() - t0
+        out[n] = round(total / wall / 1e6, 1)
+    return out
+
+
+def run_scaling() -> dict:
+    lo, hi = (int(x) for x in
+              os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+    calib = _cpu_calibration((lo, hi))
+    out = {}
+    for ncpu in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_PAGES_MULT=os.environ.get("GRAFT_PAGES_MULT", "2"),
                    GRAFT_HEADLINE_ONLY="1")
@@ -181,16 +223,21 @@ def run_scaling() -> dict:
                               capture_output=True, text=True, check=True,
                               cwd=os.path.dirname(os.path.abspath(__file__)))
         out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
-    t8, t32 = out[8]["value"], out[32]["value"]
+    t_lo, t_hi = out[lo]["value"], out[hi]["value"]
+    eff = round((t_lo / t_hi) / (hi / lo), 3)
+    hw_ceiling = round((calib[hi] / calib[lo]) / (hi / lo), 3)
     return {
-        "metric": "scaling efficiency (8 → 32 cpus, same input)",
-        "sec_8": t8,
-        "sec_32": t32,
-        "docs_per_sec_8": out[8]["docs_per_sec"],
-        "docs_per_sec_32": out[32]["docs_per_sec"],
-        "scaling_efficiency": round((t8 / t32) / (32 / 8), 3),
+        "metric": f"scaling efficiency ({lo} → {hi} cpus, same input)",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"docs_per_sec_{lo}": out[lo]["docs_per_sec"],
+        f"docs_per_sec_{hi}": out[hi]["docs_per_sec"],
+        "scaling_efficiency": eff,
+        "cpu_calibration_mips": calib,
+        "hw_scaling_ceiling": hw_ceiling,
+        "efficiency_vs_hw_ceiling": round(eff / hw_ceiling, 3) if hw_ceiling else None,
         "sf": SF_DIR,
-        "n_pages": out[32]["n_pages"],
+        "n_pages": out[hi]["n_pages"],
     }
 
 
