@@ -134,10 +134,10 @@ def build_dictionary(ds: ray.data.Dataset, *, text_col: str = "clean",
     the driver collection: the corrector ignores them anyway (reference
     :80/:87-88), and a raw web-scale token census (typos, ids, hashes) is
     orders of magnitude larger than its ≥2-frequency core.  If even the
-    pruned vocabulary outgrew the broadcast budget, the scale twin is a
-    partitioned token-lookup join (hash_join tokens ⋈ vocab on token —
-    stages/joins.py) instead of a driver dict; not needed at any tested
-    scale.
+    pruned vocabulary outgrows the broadcast budget, the scale twin is
+    ``stages/dictjoin.py::dictionary_correct_joined`` — the vocabulary stays
+    a DATASET (membership hash join + sharded nearest-word scan),
+    byte-identical to this broadcast path (pytest-pinned, any shard count).
     """
     import pyarrow.compute as pc
 
