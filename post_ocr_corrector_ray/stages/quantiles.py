@@ -301,6 +301,74 @@ def sketch_quantiles(ds: ray.data.Dataset, col: str, qs: list[float], *,
                                        pa.float64())})
 
 
+def grouped_sketch_quantiles_exchanged(ds: ray.data.Dataset, key_col: str,
+                                       col: str, qs: list[float], *,
+                                       k: int = 256,
+                                       num_partitions: int | None = None
+                                       ) -> ray.data.Dataset:
+    """``grouped_sketch_quantiles`` for UNBOUNDED key cardinality: the same
+    per-block per-key sketch rows go through ONE key-partitioned exchange
+    instead of a driver merge, and each partition folds its resident keys'
+    sketches locally — driver memory O(1), exchange volume O(blocks × keys ×
+    k·log n) tiny rows (sketch rows, never raw values).  The driver-merge
+    variant stays the default for dimension-sized keys (no exchange at all);
+    this is its corpus-scale twin, the relationship ``grouped_agg`` has to a
+    driver-side fold.  Compaction order differs from the driver variant, so
+    estimates may differ within the same rank-error bound (pytest pins
+    both, plus exact equality on inputs small enough to never compact).
+    Returns a Dataset of (key, q, value)."""
+
+    def block_sketch(batch: pa.Table) -> pa.Table:
+        return _per_key_sketch_rows(batch, key_col, col, k)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_q, out_v = [], [], []
+        for kv, grp in df.groupby("key", sort=True):
+            s = KllSketch.from_rows(grp["level"].to_numpy(np.int64),
+                                    grp["value"].to_numpy(np.float64),
+                                    int(grp["n"].sum()), k=k)
+            s._compress()
+            for q in qs:
+                out_k.append(kv)
+                out_q.append(float(q))
+                out_v.append(s.quantile(q))
+        return pd.DataFrame({key_col: out_k,
+                             "q": pd.array(out_q, dtype="float64"),
+                             "value": pd.array(out_v, dtype="float64")})
+
+    rows = ds.map_batches(block_sketch, batch_format="pyarrow")
+    return grouped_apply(rows, ["key"], fold, num_partitions=num_partitions)
+
+
+def _per_key_sketch_rows(batch: pa.Table, key_col: str, col: str,
+                         k: int) -> pa.Table:
+    """One serialized KLL sketch per distinct key in the batch — (key,
+    level, value, n) rows, ``n`` on the sketch's first row only (the
+    Misra–Gries n_stream trick) so sketches concatenate safely downstream."""
+    keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+    vals = batch.column(col).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+    out = []
+    for kv in pd.unique(keys):
+        s = KllSketch(k)
+        s.update(vals[keys == kv])
+        t = s.to_table()
+        n_first = np.zeros(t.num_rows, np.int64)
+        if t.num_rows:
+            n_first[0] = s.n
+        out.append(pa.table({
+            "key": pa.array([kv] * t.num_rows),
+            "level": t.column("level"),
+            "value": t.column("value"),
+            "n": pa.array(n_first, pa.int64())}))
+    if not out:
+        return pa.table({"key": batch.column(key_col).slice(0, 0),
+                         "level": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.float64()),
+                         "n": pa.array([], pa.int64())})
+    return pa.concat_tables(out)
+
+
 def grouped_sketch_quantiles(ds: ray.data.Dataset, key_col: str, col: str,
                              qs: list[float], *, k: int = 256) -> pa.Table:
     """Per-key mergeable KLL sketches — the continuous-value twin of
@@ -321,28 +389,7 @@ def grouped_sketch_quantiles(ds: ray.data.Dataset, key_col: str, col: str,
     itself a valid merge; ``n`` is bookkeeping only."""
 
     def block_sketch(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-        vals = batch.column(col).to_numpy(zero_copy_only=False) \
-                    .astype(np.float64)
-        out = []
-        for kv in pd.unique(keys):
-            s = KllSketch(k)
-            s.update(vals[keys == kv])
-            t = s.to_table()
-            n_first = np.zeros(t.num_rows, np.int64)
-            if t.num_rows:
-                n_first[0] = s.n
-            out.append(pa.table({
-                "key": pa.array([kv] * t.num_rows),
-                "level": t.column("level"),
-                "value": t.column("value"),
-                "n": pa.array(n_first, pa.int64())}))
-        if not out:
-            return pa.table({"key": batch.column(key_col).slice(0, 0),
-                             "level": pa.array([], pa.int64()),
-                             "value": pa.array([], pa.float64()),
-                             "n": pa.array([], pa.int64())})
-        return pa.concat_tables(out)
+        return _per_key_sketch_rows(batch, key_col, col, k)
 
     merged: dict = {}
     for b in ds.map_batches(block_sketch, batch_format="pyarrow") \

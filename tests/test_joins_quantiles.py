@@ -479,6 +479,46 @@ class TestKllSketch:
         tiny_med = got[(got.key == "tiny") & (got.q == 0.5)]["value"].iloc[0]
         assert tiny_med == 3.0
 
+    def test_grouped_sketch_exchanged_matches_bound_and_small_exact(self):
+        """The key-partitioned exchange variant (unbounded key cardinality)
+        holds the same per-group rank-error bound, and on a never-compacting
+        input equals the driver-merge variant exactly."""
+        import ray.data
+
+        from post_ocr_corrector_ray.stages.quantiles import (
+            grouped_sketch_quantiles, grouped_sketch_quantiles_exchanged)
+
+        rng = np.random.default_rng(13)
+        parts = {"a": rng.lognormal(0.0, 1.5, 30_000),
+                 "b": rng.normal(size=20_000)}
+        keys = np.concatenate([np.repeat(k, len(v)) for k, v in parts.items()])
+        vals = np.concatenate(list(parts.values()))
+        perm = rng.permutation(len(vals))
+        ds = ray.data.from_arrow(pa.table({
+            "key": pa.array(keys[perm]),
+            "v": pa.array(vals[perm], pa.float64())})).repartition(8)
+        got = grouped_sketch_quantiles_exchanged(
+            ds, "key", "v", [0.1, 0.5, 0.9], k=256,
+            num_partitions=4).to_pandas()
+        assert len(got) == 6
+        for r in got.itertuples():
+            xs = np.sort(parts[r.key])
+            rank_err = abs(np.searchsorted(xs, r.value) / len(xs) - r.q)
+            assert rank_err <= 0.02, (r.key, r.q, rank_err)
+        # small input (< k values per key): no compaction anywhere → the
+        # exchange and driver variants are EXACTLY equal
+        small = ray.data.from_arrow(pa.table({
+            "key": pa.array(["x"] * 40 + ["y"] * 30),
+            "v": pa.array(np.arange(70, dtype=np.float64))})).repartition(4)
+        a = grouped_sketch_quantiles(small, "key", "v",
+                                     [0.25, 0.5, 0.75]).to_pandas()
+        b = grouped_sketch_quantiles_exchanged(
+            small, "key", "v", [0.25, 0.5, 0.75],
+            num_partitions=3).to_pandas() \
+            .sort_values(["key", "q"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a.sort_values(["key", "q"]).reset_index(drop=True), b)
+
     def test_grouped_sketch_empty_and_null_keys(self):
         import ray.data
 
