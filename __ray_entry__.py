@@ -247,6 +247,9 @@ _R4_NEW_PRIORITY = (
     "emb_kcore_bucketed",
     "doc_dictionary_join",
     "events_value_quantiles_by_type",
+    "emb_pq_topk",
+    "emb_pq_topk_rerank",
+    "emb_pq_codes",
 )
 
 
@@ -362,6 +365,13 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # distributed Lloyd k-means (streaming assignment passes, exact
         # int64 partial sums; n_iter-level generated SQL twin)
         "emb_kmeans": lambda sf: E.emb_kmeans(sf),
+        # product quantization (stages/pq.py): compressed ANN — ADC top-k
+        # and the materialized code column (long format = the SQL twin shape)
+        "emb_pq_topk": lambda sf: E.emb_pq_topk(sf),
+        "emb_pq_topk_rerank": lambda sf: E.emb_pq_topk_rerank(sf),
+        "emb_pq_codes": lambda sf: __import__(
+            "post_ocr_corrector_ray.stages.pq", fromlist=["pq_codes_long"]
+        ).pq_codes_long(E.emb_pq_codes(sf)),
         # fixed-round k-core peel (iterative degree filter, unrolled oracle)
         "emb_kcore": lambda sf: E.emb_kcore(sf),
         # 100-TB twin: same peel over the bucketed k-NN graph
@@ -605,6 +615,32 @@ def _oracle_centroids(n_clusters: int = 16):
     sample = np.array(t.column("embedding").take(
         np.nonzero(keep)[0]).to_pylist(), dtype=np.float64)[order]
     return kmeans_fit(sample, n_clusters, seed=42), t, ids
+
+
+def _oracle_pq_constants():
+    """(codebooks, query vector) re-derived OUTSIDE Ray for the generated PQ
+    oracles: the same id-hash sample feeds the engine's own
+    ``pq_train_local`` (shared code — inlined constants ARE the engine's
+    codebooks by construction); the query is the vec_id=0 row."""
+    import pyarrow.parquet as pq
+
+    from post_ocr_corrector_ray.functions.hashing import hash_u64_array
+    from post_ocr_corrector_ray.stages.pq import pq_train_local
+
+    t = pq.read_table(f"{_ORACLE_SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    frac = min(1.0, 4096 / max(len(ids), 1))
+    keep = (np.ones(len(ids), dtype=bool) if frac >= 1.0
+            else hash_u64_array(ids.astype(np.uint64), seed=7)
+            < np.uint64(int(frac * float(2 ** 64))))
+    order = np.argsort(ids[keep])
+    sample = np.array(t.column("embedding").take(
+        np.nonzero(keep)[0]).to_pylist(), dtype=np.float64)[order]
+    books = pq_train_local(sample)
+    qrow = int(np.nonzero(ids == 0)[0][0])
+    query = np.array(t.column("embedding")[qrow].as_py(), dtype=np.float64)
+    return books, query
 
 
 def _mix_oracle_sql(alpha: float = 0.5) -> str:
@@ -2293,6 +2329,14 @@ def oracle_sql() -> dict[str, str]:
         out["emb_kcore"] = _kcore_oracle_sql()
         out["emb_triangle_counts_bucketed"] = _ivf_triangles_oracle_sql()
         out["emb_kcore_bucketed"] = _ivf_kcore_oracle_sql()
+        from post_ocr_corrector_ray.stages.pq import (
+            pq_codes_oracle_sql, pq_oracle_sql, pq_rerank_oracle_sql)
+
+        _books, _pq_query = _oracle_pq_constants()
+        out["emb_pq_topk"] = pq_oracle_sql(_books, _pq_query, k=10)
+        out["emb_pq_topk_rerank"] = pq_rerank_oracle_sql(_books, _pq_query,
+                                                         k=10, rerank=200)
+        out["emb_pq_codes"] = pq_codes_oracle_sql(_books)
     if os.path.exists(f"{_ORACLE_SF_DIR}/documents.parquet"):
         out["doc_mix_materialize"] = _mix_oracle_sql()
     return out

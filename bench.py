@@ -146,6 +146,7 @@ def run_benchmarks() -> dict:
         "emb_triangle_counts_bucketed", "emb_kcore_bucketed",
         "doc_dictionary_join", "events_value_quantiles_by_type",
         "events_value_quantiles_sketch_by_type",
+        "emb_pq_topk", "emb_pq_topk_rerank", "emb_pq_codes",
     ]
     # Each query is timed as the best of two consecutive runs: the first
     # execution in a session pays Ray worker-pool spin-up and parquet

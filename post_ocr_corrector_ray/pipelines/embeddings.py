@@ -125,6 +125,49 @@ def emb_nn_join_bucketed(sf_dir: str) -> ray.data.Dataset:
                             approx_count=_emb_count(sf_dir))
 
 
+def emb_pq_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Product-quantization ADC top-k (stages/pq.py) — the memory-compressed
+    ANN scale path: codebooks train driver-side on the deterministic id-hash
+    sample (one Lloyd per subspace, FAISS discipline), encode+scan run as
+    ONE distributed streaming pass with the integer LUT broadcast, local
+    top-k partials merge on the driver.  The query is vec_id=0 (so the
+    generated SQL twin can name it); all distances are exact int64 on
+    10⁶-scaled coordinates, so the oracle's re-derived codes and ADC sums
+    are bit-identical."""
+    from ..stages.pq import pq_adc_topk, pq_train
+
+    ds = _emb(sf_dir)
+    books = pq_train(ds, approx_count=_emb_count(sf_dir))
+    return pq_adc_topk(ds, _query_vector(sf_dir, 0), books, k=k)
+
+
+def emb_pq_topk_rerank(sf_dir: str, k: int = 10,
+                       rerank: int = 200) -> pa.Table:
+    """ADC candidates + exact re-rank (stages/pq.py::pq_adc_rerank_topk) —
+    the full compressed-index serving architecture; recall@10 restored to
+    0.9-1.0 on the worst-case near-random synthetic vectors
+    (pytest-pinned)."""
+    from ..stages.pq import pq_adc_rerank_topk, pq_train
+
+    ds = _emb(sf_dir)
+    books = pq_train(ds, approx_count=_emb_count(sf_dir))
+    return pq_adc_rerank_topk(ds, _query_vector(sf_dir, 0), books, k=k,
+                              rerank=rerank)
+
+
+def emb_pq_codes(sf_dir: str) -> ray.data.Dataset:
+    """Materialized PQ codes — the stored-column form of the compressed
+    index ((vec_id, 8-byte code) per 64-dim vector: 32× smaller than the
+    raw floats an ANN scan would otherwise stream).  Encode is one
+    distributed pass; pytest pins codes == a local recompute and the ADC
+    scan's recall vs exact L2 top-k."""
+    from ..stages.pq import pq_encode, pq_train
+
+    ds = _emb(sf_dir)
+    books = pq_train(ds, approx_count=_emb_count(sf_dir))
+    return pq_encode(ds, books)
+
+
 def doc_embedding_join(sf_dir: str) -> ray.data.Dataset:
     """Cross-table join: each document picks up its embedding's L2 norm
     (documents.doc_id = embeddings.vec_id, inner).  The vector payload is

@@ -1,0 +1,354 @@
+"""Product quantization (PQ) — the memory-compressed ANN scale path.
+
+At 100 TB the raw float vectors (256 B+ each) dominate ANN memory; PQ
+(Jégou et al., "Product Quantization for Nearest Neighbor Search", TPAMI
+2011 — the FAISS default) stores each vector as M one-byte codewords
+(here 8 B for a 64-dim vector, 32× smaller) and scans with asymmetric
+distance computation (ADC): a query builds one M×ksub lookup table of
+subspace distances and every database vector's distance is M table adds.
+
+Division of labor (the IVF discipline of stages/embed.py):
+- **codebook training is driver-side on the deterministic sample**
+  (``train_quantizer_sample`` — id-hash filtered, layout-independent;
+  FAISS likewise trains codebooks on a sample) — one local Lloyd per
+  subspace, no distributed iteration;
+- **encode and ADC scan are distributed**: one streaming ``map_batches``
+  pass each; the ADC top-k is combine-safe local partials → tiny driver
+  merge, no shuffle.
+
+Exactness/parity discipline (the ``kmeans_lloyd_distributed`` trick):
+codebooks round to 6 dp and ALL distances compute in EXACT int64 on
+10⁶-scaled coordinates (diff ≤ ~10⁷ → Σ of 8 squares ≤ ~10¹⁵ < 2⁶³), so
+argmin assignments and ADC sums are bit-identical across block layouts,
+summation orders, and the generated DuckDB twin (which re-derives codes
+and distances from the inlined integer codebooks).  Ties break on the
+lowest codeword index / vec_id on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .embed import _to_matrix, kmeans_fit, train_quantizer_sample
+
+_SCALE = 10**6  # coordinate scale; distances live at SCALE² = 10¹²
+
+
+def pq_train_local(sample: np.ndarray, *, m_subspaces: int = 8,
+                   ksub: int = 16, n_iter: int = 10,
+                   seed: int = 42) -> np.ndarray:
+    """Codebooks (m_subspaces, ksub, dsub) from an in-memory sample — one
+    deterministic Lloyd per subspace, rounded to 6 dp (the int64 distance
+    contract).  Shared verbatim by the engine (``pq_train``) and the oracle
+    generator (which re-derives the identical sample outside Ray), so the
+    inlined SQL constants are the engine's codebooks by construction."""
+    if sample.size == 0:
+        raise ValueError("pq_train: empty sample")
+    dim = sample.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"pq_train: dim {dim} not divisible by "
+                         f"m_subspaces {m_subspaces}")
+    dsub = dim // m_subspaces
+    books = np.empty((m_subspaces, ksub, dsub), dtype=np.float64)
+    for m in range(m_subspaces):
+        sub = sample[:, m * dsub : (m + 1) * dsub]
+        books[m] = kmeans_fit(sub, n_clusters=ksub, n_iter=n_iter,
+                              seed=seed + m)
+    return np.round(books, 6)
+
+
+def pq_train(ds: ray.data.Dataset, *, m_subspaces: int = 8, ksub: int = 16,
+             n_iter: int = 10, seed: int = 42, vec_col: str = "embedding",
+             id_col: str = "vec_id",
+             approx_count: int | None = None) -> np.ndarray:
+    """``pq_train_local`` over the deterministic id-hash sample (layout- and
+    cluster-size-independent; FAISS likewise trains PQ codebooks on a
+    sample)."""
+    sample = train_quantizer_sample(ds, target=4096, vec_col=vec_col,
+                                    id_col=id_col, seed=7,
+                                    approx_count=approx_count)
+    return pq_train_local(sample, m_subspaces=m_subspaces, ksub=ksub,
+                          n_iter=n_iter, seed=seed)
+
+
+def _int_scale(x: np.ndarray) -> np.ndarray:
+    """floor(x·SCALE + 0.5) — the engine/oracle shared int64 coordinate
+    map (the kmeans-oracle discipline: float64 on both sides, floor+0.5
+    instead of round so DuckDB and numpy agree on every value incl.
+    negative halves)."""
+    return np.floor(np.asarray(x, dtype=np.float64) * _SCALE + 0.5) \
+        .astype(np.int64)
+
+
+def _codebooks_int(codebooks: np.ndarray) -> np.ndarray:
+    return _int_scale(codebooks)
+
+
+def _encode_matrix(m: np.ndarray, cb_int: np.ndarray) -> np.ndarray:
+    """(n, M) uint8 codes via exact-int64 argmin per subspace (ties → lowest
+    codeword index, np.argmin's contract)."""
+    n = m.shape[0]
+    m_sub, ksub, dsub = cb_int.shape
+    v_int = _int_scale(m)
+    codes = np.empty((n, m_sub), dtype=np.uint8)
+    for s in range(m_sub):
+        diff = v_int[:, None, s * dsub : (s + 1) * dsub] - cb_int[s][None, :, :]
+        d2 = (diff * diff).sum(axis=2)          # exact int64
+        codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_encode(ds: ray.data.Dataset, codebooks: np.ndarray, *,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> ray.data.Dataset:
+    """(vec_id, pq_code: binary[M]) — one streaming pass, codebooks
+    broadcast once via ``ray.put`` and fetched per actor/task."""
+    import ray as _ray
+
+    ref = _ray.put(_codebooks_int(codebooks))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cb_int = _ray.get(ref)
+        codes = _encode_matrix(_to_matrix(batch.column(vec_col)), cb_int)
+        return pa.table({id_col: batch.column(id_col).cast(pa.int64()),
+                         "pq_code": pa.array([c.tobytes() for c in codes],
+                                             pa.binary())})
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_adc_topk(ds: ray.data.Dataset, query: np.ndarray,
+                codebooks: np.ndarray, *, k: int = 10,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> pa.Table:
+    """ADC top-k: the query builds ONE integer (M, ksub) lookup table; each
+    batch encodes its vectors (fused encode+scan — at steady state the codes
+    would be a stored column and this stage reads 8 B/vector) and sums M
+    table entries per vector; per-block local top-k partials stream to a
+    tiny driver merge.  Returns (vec_id, adc_dist, rank) — adc_dist =
+    exact-int64 sum / SCALE², rank 1..k by (adc, vec_id)."""
+    import ray as _ray
+
+    cb_int = _codebooks_int(codebooks)
+    m_sub, ksub, dsub = cb_int.shape
+    q_int = _int_scale(query)
+    diff = q_int.reshape(m_sub, 1, dsub) - cb_int
+    lut = (diff * diff).sum(axis=2)             # (M, ksub) exact int64
+    lut_ref = _ray.put(lut)
+    cb_ref = _ray.put(cb_int)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        lut_i = _ray.get(lut_ref)
+        codes = _encode_matrix(_to_matrix(batch.column(vec_col)),
+                               _ray.get(cb_ref))
+        adc = lut_i[np.arange(m_sub)[None, :], codes.astype(np.int64)] \
+            .sum(axis=1)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+                   .astype(np.int64)
+        order = np.lexsort((ids, adc))[:k]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "adc_int": pa.array(adc[order], pa.int64())})
+
+    parts = []
+    for b in ds.map_batches(local_topk, batch_format="pyarrow") \
+               .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        parts.append(b)
+    if parts:
+        allp = pa.concat_tables(parts)
+        ids = allp.column(id_col).to_numpy(zero_copy_only=False)
+        adc = allp.column("adc_int").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, adc))[:k]
+        ids, adc = ids[order], adc[order]
+    else:
+        ids = np.empty(0, np.int64)
+        adc = np.empty(0, np.int64)
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "adc_dist": pa.array(adc.astype(np.float64) / float(_SCALE) ** 2,
+                             pa.float64()),
+        "rank": pa.array(np.arange(1, len(ids) + 1, dtype=np.int64))})
+
+
+def pq_adc_rerank_topk(ds: ray.data.Dataset, query: np.ndarray,
+                       codebooks: np.ndarray, *, k: int = 10,
+                       rerank: int = 200, vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> pa.Table:
+    """ADC candidate generation + EXACT re-rank — the standard compressed-
+    index serving architecture (IVFADC + re-rank): pass 1 is the ``rerank``-
+    candidate ADC scan (8 B/vector economics at scale), pass 2 fetches only
+    the ≤ ``rerank`` raw vectors and re-ranks by exact squared L2.  On the
+    synthetic near-random embeddings plain ADC recall@10 plateaus ~0.5
+    (distance concentration — PQ's worst case); rerank=200 restores 0.9-1.0
+    (pytest-pinned).  Exact-int64 distances both passes → the generated SQL
+    twin is bit-identical.  Returns (vec_id, l2_dist, rank)."""
+    import ray as _ray
+
+    cand = pq_adc_topk(ds, query, codebooks, k=rerank,
+                       vec_col=vec_col, id_col=id_col)
+    cand_ids = cand.column(id_col)
+    ids_ref = _ray.put(cand_ids)
+    q_int = _int_scale(query)
+
+    def exact_local(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(batch.column(id_col), value_set=_ray.get(ids_ref))
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "d2_int": pa.array([], pa.int64())})
+        v_int = _int_scale(_to_matrix(batch.column(vec_col)))
+        diff = v_int - q_int[None, :]
+        d2 = (diff * diff).sum(axis=1)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+                   .astype(np.int64)
+        order = np.lexsort((ids, d2))[:k]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "d2_int": pa.array(d2[order], pa.int64())})
+
+    parts = [b for b in ds.map_batches(exact_local, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    if parts:
+        allp = pa.concat_tables(parts)
+        ids = allp.column(id_col).to_numpy(zero_copy_only=False)
+        d2 = allp.column("d2_int").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, d2))[:k]
+        ids, d2 = ids[order], d2[order]
+    else:
+        ids = np.empty(0, np.int64)
+        d2 = np.empty(0, np.int64)
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "l2_dist": pa.array(d2.astype(np.float64) / float(_SCALE) ** 2,
+                            pa.float64()),
+        "rank": pa.array(np.arange(1, len(ids) + 1, dtype=np.int64))})
+
+
+def pq_rerank_oracle_sql(codebooks: np.ndarray, query: np.ndarray, *,
+                         k: int = 10, rerank: int = 200) -> str:
+    """Generated DuckDB twin of ``pq_adc_rerank_topk``: ADC top-``rerank``
+    candidates from the inlined integer codebooks/LUT, exact int64 squared
+    L2 re-rank against the inlined integer query."""
+    cb_int = _codebooks_int(codebooks)
+    m_sub, ksub, dsub = cb_int.shape
+    q_int = _int_scale(query)
+    diff = q_int.reshape(m_sub, 1, dsub) - cb_int
+    lut = (diff * diff).sum(axis=2)
+    cb_rows, body, _ = _pq_cb_cte(cb_int)
+    lut_rows = ",".join(f"({m},{cw},{int(lut[m, cw])})"
+                        for m in range(m_sub) for cw in range(ksub))
+    q_rows = ",".join(f"({d},{int(q_int[d])})" for d in range(len(q_int)))
+    return f"""
+        WITH cb(m, cw, d, c_int) AS (VALUES {cb_rows}),
+        lut(m, cw, l_int) AS (VALUES {lut_rows}),
+        qv(idx, q_int) AS (VALUES {q_rows}),{body},
+        adc AS (SELECT a.vec_id, sum(l.l_int) AS adc_int
+                FROM assign a JOIN lut l ON l.m = a.m AND l.cw = a.cw
+                GROUP BY a.vec_id),
+        cand AS (SELECT vec_id FROM adc
+                 ORDER BY adc_int, vec_id LIMIT {rerank}),
+        exact AS (SELECT c.vec_id,
+                         sum((c.v_int - qv.q_int) * (c.v_int - qv.q_int))
+                             AS d2_int
+                  FROM coords c
+                  JOIN qv USING (idx)
+                  WHERE c.vec_id IN (SELECT vec_id FROM cand)
+                  GROUP BY c.vec_id)
+        SELECT vec_id,
+               CAST(d2_int AS DOUBLE) / {float(_SCALE) ** 2:.1f} AS l2_dist,
+               CAST(row_number() OVER (ORDER BY d2_int, vec_id) AS BIGINT)
+                   AS rank
+        FROM exact
+        ORDER BY d2_int, vec_id
+        LIMIT {k}"""
+
+
+def pq_codes_long(codes_ds: ray.data.Dataset,
+                  id_col: str = "vec_id") -> ray.data.Dataset:
+    """Explode binary PQ codes to SQL-comparable long format
+    (vec_id, m, codeword) — the oracle twin shape of ``pq_encode``."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+                   .astype(np.int64)
+        raw = batch.column("pq_code").to_pylist()
+        m_sub = len(raw[0]) if raw else 0
+        codes = (np.frombuffer(b"".join(raw), dtype=np.uint8)
+                 .reshape(len(raw), m_sub) if raw
+                 else np.empty((0, 0), np.uint8))
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, m_sub), pa.int64()),
+            "m": pa.array(np.tile(np.arange(m_sub, dtype=np.int64),
+                                  len(ids))),
+            "codeword": pa.array(codes.reshape(-1).astype(np.int64))})
+
+    return codes_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _pq_cb_cte(cb_int: np.ndarray) -> tuple[str, str, int]:
+    """(codebook VALUES rows, d2+assign CTE body, dsub) shared by the two
+    generated oracles."""
+    m_sub, ksub, dsub = cb_int.shape
+    cb_rows = ",".join(
+        f"({m},{cw},{d},{int(cb_int[m, cw, d])})"
+        for m in range(m_sub) for cw in range(ksub) for d in range(dsub))
+    body = f"""
+        coords AS (SELECT vec_id,
+                          generate_subscripts(v, 1) - 1 AS idx,
+                          CAST(floor(unnest(v) * {_SCALE} + 0.5) AS BIGINT)
+                              AS v_int
+                   FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                         FROM embeddings)),
+        d2 AS (SELECT c.vec_id, cb.m, cb.cw,
+                      sum((c.v_int - cb.c_int) * (c.v_int - cb.c_int)) AS d2
+               FROM coords c
+               JOIN cb ON cb.m = c.idx // {dsub}
+                      AND cb.d = c.idx % {dsub}
+               GROUP BY c.vec_id, cb.m, cb.cw),
+        assign AS (SELECT vec_id, m, cw FROM (
+                      SELECT vec_id, m, cw,
+                             row_number() OVER (PARTITION BY vec_id, m
+                                                ORDER BY d2, cw) AS rn
+                      FROM d2) WHERE rn = 1)"""
+    return cb_rows, body, dsub
+
+
+def pq_codes_oracle_sql(codebooks: np.ndarray) -> str:
+    """Generated DuckDB twin of ``pq_codes_long``: (vec_id, m, codeword)
+    re-derived by exact-int64 argmin over the inlined codebooks."""
+    cb_rows, body, _ = _pq_cb_cte(_codebooks_int(codebooks))
+    return f"""
+        WITH cb(m, cw, d, c_int) AS (VALUES {cb_rows}),{body}
+        SELECT vec_id, m, CAST(cw AS BIGINT) AS codeword FROM assign"""
+
+
+def pq_oracle_sql(codebooks: np.ndarray, query: np.ndarray, *,
+                  k: int = 10) -> str:
+    """Generated DuckDB twin of ``pq_adc_topk`` over the ``embeddings``
+    view: codes re-derived by argmin over the INLINED integer codebooks,
+    ADC summed from the inlined integer LUT — bit-identical to the engine
+    by the shared exact-int64 contract (the emb_kmeans oracle discipline)."""
+    cb_int = _codebooks_int(codebooks)
+    m_sub, ksub, dsub = cb_int.shape
+    q_int = _int_scale(query)
+    diff = q_int.reshape(m_sub, 1, dsub) - cb_int
+    lut = (diff * diff).sum(axis=2)
+    cb_rows, body, _ = _pq_cb_cte(cb_int)
+    lut_rows = ",".join(f"({m},{cw},{int(lut[m, cw])})"
+                        for m in range(m_sub) for cw in range(ksub))
+    return f"""
+        WITH cb(m, cw, d, c_int) AS (VALUES {cb_rows}),
+        lut(m, cw, l_int) AS (VALUES {lut_rows}),{body},
+        adc AS (SELECT a.vec_id, sum(l.l_int) AS adc_int
+                FROM assign a JOIN lut l ON l.m = a.m AND l.cw = a.cw
+                GROUP BY a.vec_id)
+        SELECT vec_id,
+               CAST(adc_int AS DOUBLE) / {float(_SCALE) ** 2:.1f} AS adc_dist,
+               CAST(row_number() OVER (ORDER BY adc_int, vec_id) AS BIGINT)
+                   AS rank
+        FROM adc
+        ORDER BY adc_int, vec_id
+        LIMIT {k}"""
