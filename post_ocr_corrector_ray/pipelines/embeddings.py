@@ -61,6 +61,23 @@ def _graph_loop_partitions(n_edges: int) -> int:
     return max(8, min(partitions_for(rows=n_edges), n_edges // 10_000 + 8))
 
 
+_PQ_BOOKS_CACHE: dict[str, np.ndarray] = {}
+
+
+def _pq_books(sf_dir: str) -> np.ndarray:
+    """One PQ training pass per table, shared by the three emb_pq_* helpers
+    (ADVICE r4): ``pq_train`` is deterministic in sf_dir (id-hash sample,
+    fixed seeds), so the memo changes nothing observable — it just stops
+    each pipeline from re-running the sample scan + per-subspace Lloyd."""
+    books = _PQ_BOOKS_CACHE.get(sf_dir)
+    if books is None:
+        from ..stages.pq import pq_train
+
+        books = pq_train(_emb(sf_dir), approx_count=_emb_count(sf_dir))
+        _PQ_BOOKS_CACHE[sf_dir] = books
+    return books
+
+
 def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     """The query is a row of the table itself (so the SQL oracle can name it).
     Row-filter pushdown: only the one matching row-group row leaves storage."""
@@ -134,11 +151,10 @@ def emb_pq_topk(sf_dir: str, k: int = 10) -> pa.Table:
     generated SQL twin can name it); all distances are exact int64 on
     10⁶-scaled coordinates, so the oracle's re-derived codes and ADC sums
     are bit-identical."""
-    from ..stages.pq import pq_adc_topk, pq_train
+    from ..stages.pq import pq_adc_topk
 
-    ds = _emb(sf_dir)
-    books = pq_train(ds, approx_count=_emb_count(sf_dir))
-    return pq_adc_topk(ds, _query_vector(sf_dir, 0), books, k=k)
+    return pq_adc_topk(_emb(sf_dir), _query_vector(sf_dir, 0),
+                       _pq_books(sf_dir), k=k)
 
 
 def emb_pq_topk_rerank(sf_dir: str, k: int = 10,
@@ -147,12 +163,10 @@ def emb_pq_topk_rerank(sf_dir: str, k: int = 10,
     the full compressed-index serving architecture; recall@10 restored to
     0.9-1.0 on the worst-case near-random synthetic vectors
     (pytest-pinned)."""
-    from ..stages.pq import pq_adc_rerank_topk, pq_train
+    from ..stages.pq import pq_adc_rerank_topk
 
-    ds = _emb(sf_dir)
-    books = pq_train(ds, approx_count=_emb_count(sf_dir))
-    return pq_adc_rerank_topk(ds, _query_vector(sf_dir, 0), books, k=k,
-                              rerank=rerank)
+    return pq_adc_rerank_topk(_emb(sf_dir), _query_vector(sf_dir, 0),
+                              _pq_books(sf_dir), k=k, rerank=rerank)
 
 
 def emb_pq_codes(sf_dir: str) -> ray.data.Dataset:
@@ -161,11 +175,9 @@ def emb_pq_codes(sf_dir: str) -> ray.data.Dataset:
     raw floats an ANN scan would otherwise stream).  Encode is one
     distributed pass; pytest pins codes == a local recompute and the ADC
     scan's recall vs exact L2 top-k."""
-    from ..stages.pq import pq_encode, pq_train
+    from ..stages.pq import pq_encode
 
-    ds = _emb(sf_dir)
-    books = pq_train(ds, approx_count=_emb_count(sf_dir))
-    return pq_encode(ds, books)
+    return pq_encode(_emb(sf_dir), _pq_books(sf_dir))
 
 
 def doc_embedding_join(sf_dir: str) -> ray.data.Dataset:

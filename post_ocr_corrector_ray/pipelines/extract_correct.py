@@ -52,35 +52,62 @@ def explode_chunks(batch: pa.Table, *, max_len: int, threshold: int,
     explosion window is a multiple of ``model.max_len × DECODE_GROUP`` so the
     corrector builds bit-identical decode batches either way (the caller
     passes that product as ``max_len`` here).
-    Normal rows pass through with ``chunk_idx = -1``."""
+    Normal rows pass through with ``chunk_idx = -1``.
+
+    Vectorized (r5): chunk counts/indices via repeat/cumsum arithmetic, one
+    ``take`` per passthrough column, and chunk texts via per-ordinal
+    ``utf8_slice_codeunits`` (codepoint semantics — matches Python ``str``
+    slicing) over a stable ordinal grouping, scattered back by the inverse
+    permutation.  The only loop is over chunk ORDINALS (longest doc ÷
+    ``max_len``), never rows — the doc_chunk_windows discipline."""
+    import numpy as np
+    import pyarrow.compute as pc
+
     names = batch.column_names
-    texts = batch.column(text_col).to_pylist()
-    out: dict[str, list] = {n: [] for n in names}
-    out["chunk_idx"], out["chunk_total"] = [], []
-    originals = {n: batch.column(n).to_pylist() for n in names if n != text_col}
-    for i, text in enumerate(texts):
-        text = text or ""
-        if len(text) > threshold:
-            chunks = [text[j : j + max_len] for j in range(0, len(text), max_len)]
-            for ci, chunk in enumerate(chunks):
-                for n in originals:
-                    out[n].append(originals[n][i])
-                out[text_col].append(chunk)
-                out["chunk_idx"].append(ci)
-                out["chunk_total"].append(len(chunks))
-        else:
-            for n in originals:
-                out[n].append(originals[n][i])
-            out[text_col].append(text)
-            out["chunk_idx"].append(-1)
-            out["chunk_total"].append(1)
+    texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+    n = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+    long_mask = n > threshold
+    n_chunks = np.where(long_mask, -(-n // max_len), 1).astype(np.int64)
+    total = int(n_chunks.sum())
+    rows = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+    off = np.concatenate(([0], np.cumsum(n_chunks)))[:-1]
+    cidx = np.arange(total, dtype=np.int64) - np.repeat(off, n_chunks)
+    out_long = long_mask[rows]
+    chunk_idx = np.where(out_long, cidx, -1).astype(np.int32)
+    chunk_total = np.where(out_long, n_chunks[rows], 1).astype(np.int32)
+    rows_arr = pa.array(rows)
+    taken = texts.take(rows_arr)
+    # group output rows by chunk ordinal (-1 = passthrough): one vectorized
+    # codepoint slice per ordinal, then scatter back to interleaved order
+    key = np.where(out_long, cidx, -1)
+    order = np.argsort(key, kind="stable")
+    skey = key[order]
+    starts = np.flatnonzero(
+        np.concatenate(([True], skey[1:] != skey[:-1]))) if total else \
+        np.empty(0, np.int64)
+    taken_sorted = taken.take(pa.array(order))
+    pieces = []
+    for gi, b in enumerate(starts):
+        e = int(starts[gi + 1]) if gi + 1 < len(starts) else total
+        sub = taken_sorted.slice(int(b), e - int(b))
+        ci = int(skey[b])
+        pieces.append(sub if ci < 0 else pc.utf8_slice_codeunits(
+            sub, start=ci * max_len, stop=(ci + 1) * max_len))
+    if pieces:
+        inv = np.empty_like(order)
+        inv[order] = np.arange(total, dtype=np.int64)
+        text_out = pa.concat_arrays(
+            [p if isinstance(p, pa.Array) else p.combine_chunks()
+             for p in pieces]).take(pa.array(inv))
+    else:
+        text_out = pa.array([], texts.type)
     arrays, out_names = [], []
-    for n in names:
-        typ = batch.schema.field(n).type
-        arrays.append(pa.array(out[n], typ))
-        out_names.append(n)
-    arrays.append(pa.array(out["chunk_idx"], pa.int32())); out_names.append("chunk_idx")
-    arrays.append(pa.array(out["chunk_total"], pa.int32())); out_names.append("chunk_total")
+    for nm in names:
+        arrays.append(text_out if nm == text_col
+                      else batch.column(nm).take(rows_arr))
+        out_names.append(nm)
+    arrays.append(pa.array(chunk_idx, pa.int32())); out_names.append("chunk_idx")
+    arrays.append(pa.array(chunk_total, pa.int32())); out_names.append("chunk_total")
     return pa.Table.from_arrays(arrays, names=out_names)
 
 

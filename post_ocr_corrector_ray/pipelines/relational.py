@@ -275,9 +275,11 @@ def supplier_counts_by_region(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(agg.sort_values("r_name"), preserve_index=False)
 
 
-def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+def events_sessions(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     """Per-user sessionization (gap-based), the stream-shaped op: groupby(user)
-    → per-group sort by (ts, event_id) → gap scan (ray_guide streaming recipe)."""
+    → per-group sort by (ts, event_id) → gap scan (ray_guide streaming recipe).
+    Returns the LAZY Dataset (O(n_users) rows stay distributed, the sibling
+    per-user queries' contract) — no driver collection."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
@@ -291,14 +293,13 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
         out = df.assign(_s=new_session.astype("int64")).groupby(
             "user_id", as_index=False).agg(n_events=("_s", "size"),
                                            n_sessions=("_s", "sum"))
+        out["n_events"] = out["n_events"].astype("int64")
+        out["n_sessions"] = out["n_sessions"].astype("int64")
         return out
 
     from ..stages.shuffle import grouped_apply
 
-    out = grouped_apply(ds, ["user_id"], sessions_in_partition).to_pandas()
-    out["n_events"] = out["n_events"].astype("int64")
-    out["n_sessions"] = out["n_sessions"].astype("int64")
-    return pa.Table.from_pandas(out.sort_values("user_id"), preserve_index=False)
+    return grouped_apply(ds, ["user_id"], sessions_in_partition)
 
 
 def events_asof_orders(sf_dir: str) -> ray.data.Dataset:
@@ -980,14 +981,15 @@ def forecast_revenue(sf_dir: str) -> pa.Table:
     return pa.table({"revenue": pa.array([total / 10000.0], pa.float64())})
 
 
-def customer_order_stats(sf_dir: str) -> pa.Table:
+def customer_order_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-customer order count + total spend INCLUDING customers with no
     orders — the LEFT OUTER fact-fact join: orders pre-aggregate to one
     (custkey, n, cents) row per customer before the exchange, customer rows
     co-partition against them, unmatched customers null-pad and coalesce to
     zero.  Exact integer cents; the left join keeps right numerics float64
-    through the exchange (engine contract) and this wrapper restores the
-    int64 / dollar types."""
+    through the exchange (engine contract) and a streaming finish batch
+    restores the int64 / dollar types.  Returns the LAZY Dataset — the
+    O(n_customers) result stays distributed."""
     from ..stages.joins import hash_join
     from ..stages.shuffle import grouped_agg
 
@@ -1005,15 +1007,17 @@ def customer_order_stats(sf_dir: str) -> pa.Table:
                                       "cents": ("cents", "sum")})
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     joined = hash_join(cust, agg, on="c_custkey", right_on="o_custkey",
-                       how="left").to_pandas()
-    res = pd.DataFrame({
-        "c_custkey": joined["c_custkey"].astype("int64"),
-        "c_name": joined["c_name"],
-        "n_orders": joined["n"].fillna(0.0).astype("int64"),
-        "total_spend": joined["cents"].fillna(0.0).astype("int64") / 100.0,
-    })
-    return pa.Table.from_pandas(res.sort_values("c_custkey").reset_index(drop=True),
-                                preserve_index=False)
+                       how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].astype("int64"),
+            "c_name": df["c_name"],
+            "n_orders": df["n"].fillna(0.0).astype("int64"),
+            "total_spend": df["cents"].fillna(0.0).astype("int64") / 100.0,
+        })
+
+    return joined.map_batches(finish, batch_format="pandas")
 
 
 def events_value_quantiles_sketch(sf_dir: str) -> pa.Table:

@@ -114,10 +114,38 @@ def pq_encode(ds: ray.data.Dataset, codebooks: np.ndarray, *,
         cb_int = _ray.get(ref)
         codes = _encode_matrix(_to_matrix(batch.column(vec_col)), cb_int)
         return pa.table({id_col: batch.column(id_col).cast(pa.int64()),
-                         "pq_code": pa.array([c.tobytes() for c in codes],
-                                             pa.binary())})
+                         "pq_code": _codes_to_binary(codes)})
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def _codes_to_binary(codes: np.ndarray) -> pa.Array:
+    """(n, M) uint8 → FixedSizeBinary(M) column from ONE contiguous buffer —
+    no per-row ``tobytes()`` (this is a scan-shaped stage on the 100-TB
+    path; the spandedup buffer discipline)."""
+    n, m_sub = codes.shape
+    buf = pa.py_buffer(np.ascontiguousarray(codes).tobytes())
+    return pa.Array.from_buffers(pa.binary(m_sub), n, [None, buf])
+
+
+def _binary_to_codes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """FixedSizeBinary(M) (or uniform-width variable binary) column →
+    (n, M) uint8 via ONE ``np.frombuffer`` over the data buffer — the
+    vectorized inverse of ``_codes_to_binary``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), np.uint8)
+    if pa.types.is_fixed_size_binary(col.type):
+        m_sub = col.type.byte_width
+        data = np.frombuffer(col.buffers()[1], dtype=np.uint8)
+        start = col.offset * m_sub
+        return data[start : start + n * m_sub].reshape(n, m_sub)
+    # variable-width binary fallback (externally produced codes)
+    raw = col.to_pylist()
+    m_sub = len(raw[0])
+    return np.frombuffer(b"".join(raw), dtype=np.uint8).reshape(n, m_sub)
 
 
 def pq_adc_topk(ds: ray.data.Dataset, query: np.ndarray,
@@ -274,11 +302,8 @@ def pq_codes_long(codes_ds: ray.data.Dataset,
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
                    .astype(np.int64)
-        raw = batch.column("pq_code").to_pylist()
-        m_sub = len(raw[0]) if raw else 0
-        codes = (np.frombuffer(b"".join(raw), dtype=np.uint8)
-                 .reshape(len(raw), m_sub) if raw
-                 else np.empty((0, 0), np.uint8))
+        codes = _binary_to_codes(batch.column("pq_code"))
+        m_sub = codes.shape[1]
         return pa.table({
             id_col: pa.array(np.repeat(ids, m_sub), pa.int64()),
             "m": pa.array(np.tile(np.arange(m_sub, dtype=np.int64),

@@ -176,10 +176,16 @@ class KllSketch:
 
     Structure: level ``i`` holds items of weight ``2^i``; a level over
     capacity sorts and keeps alternating items (promoting them one level up).
-    Compaction alternates even/odd offsets per level (deterministic — results
-    reproducible across runs and layouts for a fixed merge order) instead of
-    coin flips; rank error stays O(1/k)-ish with the same shape as the
-    randomized bound (accuracy is pytest-pinned vs exact on the bench table).
+    Compaction alternates even/odd offsets per level (deterministic — no coin
+    flips; for a FIXED sequence of update/merge calls in one process the
+    result is exactly reproducible).  Across serialization boundaries the
+    guarantee is weaker: ``from_rows`` resets the per-level flip state (a
+    merged sketch has no single well-defined flip history), so grouped
+    estimates can vary with transport batching / block layout — always
+    within the same pytest-pinned rank-error bound, which is the contract
+    callers may rely on.  Rank error stays O(1/k)-ish with the same shape as
+    the randomized bound (accuracy is pytest-pinned vs exact on the bench
+    table).
     Size: O(k · log(n/k)) items however large n grows — safe to ship per
     block and merge on the driver.
     """

@@ -423,6 +423,26 @@ class TestProductQuantization:
             assert np.array_equal(codes, want), nparts
         assert want.shape[1] == 8          # 8-byte code per 64-dim vector
 
+    def test_vectorized_code_materialization_byte_identical(self):
+        """The r5 FixedSizeBinary buffer build/decode (_codes_to_binary /
+        _binary_to_codes) is byte-identical to the old per-row
+        tobytes()/to_pylist() path, including under array slicing (non-zero
+        Arrow offset) and for variable-width binary input."""
+        from post_ocr_corrector_ray.stages.pq import _binary_to_codes, \
+            _codes_to_binary
+
+        rng = np.random.default_rng(7)
+        codes = rng.integers(0, 256, size=(257, 8), dtype=np.uint8)
+        col = _codes_to_binary(codes)
+        assert pa.types.is_fixed_size_binary(col.type)
+        assert col.to_pylist() == [c.tobytes() for c in codes]  # old path
+        assert np.array_equal(_binary_to_codes(col), codes)
+        sliced = col.slice(100, 57)                 # non-zero offset
+        assert np.array_equal(_binary_to_codes(sliced), codes[100:157])
+        legacy = pa.array([c.tobytes() for c in codes], pa.binary())
+        assert np.array_equal(_binary_to_codes(legacy), codes)
+        assert _binary_to_codes(pa.chunked_array([col, col])).shape == (514, 8)
+
     def test_adc_topk_layout_invariant_and_recall(self):
         from post_ocr_corrector_ray.stages.pq import pq_adc_topk
 

@@ -157,6 +157,56 @@ class TestExplodeChunks:
         assert back["extracted_text"].tolist() == ["x" * 100, "short", ""]
         assert back["corrected_text"].tolist() == ["x" * 100, "short", ""]
 
+    def test_vectorized_matches_per_row_reference(self):
+        """The r5 vectorized explode (ordinal-grouped utf8_slice_codeunits +
+        inverse-permutation scatter) is row-for-row identical to the naive
+        per-row Python chunker, including unicode, nulls, and empty batches."""
+        import random
+
+        from post_ocr_corrector_ray.pipelines.extract_correct import (
+            explode_chunks,
+        )
+
+        rng = random.Random(11)
+        pool = "abçδ語 x"
+        texts = [None, ""] + ["".join(rng.choice(pool) for _ in range(
+            rng.randrange(0, 120))) for _ in range(40)]
+        tbl = pa.table({
+            "url": [f"u{i}" for i in range(len(texts))],
+            "extracted_text": pa.array(texts, pa.string()),
+            "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+        })
+        max_len, threshold = 16, 32
+        got = explode_chunks(tbl, max_len=max_len, threshold=threshold)
+        # naive per-row reference (the pre-r5 implementation's semantics)
+        want = {"url": [], "extracted_text": [], "n_chars": [],
+                "chunk_idx": [], "chunk_total": []}
+        for i, t in enumerate(texts):
+            t = t or ""
+            if len(t) > threshold:
+                chunks = [t[j:j + max_len] for j in range(0, len(t), max_len)]
+                for ci, c in enumerate(chunks):
+                    want["url"].append(f"u{i}")
+                    want["extracted_text"].append(c)
+                    want["n_chars"].append(len(t))
+                    want["chunk_idx"].append(ci)
+                    want["chunk_total"].append(len(chunks))
+            else:
+                want["url"].append(f"u{i}")
+                want["extracted_text"].append(t)
+                want["n_chars"].append(len(t))
+                want["chunk_idx"].append(-1)
+                want["chunk_total"].append(1)
+        assert got.column("url").to_pylist() == want["url"]
+        assert got.column("extracted_text").to_pylist() == want["extracted_text"]
+        assert got.column("chunk_idx").to_pylist() == want["chunk_idx"]
+        assert got.column("chunk_total").to_pylist() == want["chunk_total"]
+        # empty batch round-trips with the full schema
+        empty = explode_chunks(tbl.slice(0, 0), max_len=16, threshold=32)
+        assert empty.num_rows == 0
+        assert empty.column_names == tbl.column_names + ["chunk_idx",
+                                                         "chunk_total"]
+
 
 def test_partitions_for_adaptive_width(ray_session):
     import ray
