@@ -229,57 +229,78 @@ _R3_DRIVER_VERIFIED = frozenset({
     "lineitem_order_priority_salted",
 })
 
-# A handful of round-3-green canaries kept inside the round-4 window so a
+# Round-4 window (CORRECTNESS_r04.json — 50/50 green): the canaries, the
+# round-4 additions, and 39 previously-never-verified entries.
+_R4_DRIVER_VERIFIED = frozenset({
+    "doc_normalize_ws", "pricing_summary", "events_sessions",
+    "emb_dedup_bucketed", "emb_triangle_counts_bucketed",
+    "emb_kcore_bucketed", "doc_dictionary_join",
+    "events_value_quantiles_by_type", "emb_pq_topk", "emb_pq_topk_rerank",
+    "emb_pq_codes", "customers_without_events", "shipping_priority",
+    "doc_embedding_join", "doc_length_quantiles_by_lang",
+    "doc_dup_components", "doc_dedup_near", "doc_top_tokens",
+    "doc_token_distinct", "doc_percentile_filter", "doc_rank_by_length",
+    "doc_repetition_stats", "doc_repetition_filter", "doc_contamination",
+    "doc_contamination_joined", "doc_token_familiarity", "doc_lang_weights",
+    "doc_mix_materialize", "doc_weighted_sample", "doc_span_dedup",
+    "doc_span_dedup_hashed", "doc_pack_assignments", "doc_shuffle_order",
+    "doc_corpus_prep", "doc_source_cap", "doc_chunk_windows", "doc_idf",
+    "doc_tfidf_top_terms", "doc_inverted_index", "events_value_hour_corr",
+    "supplier_counts_rollup", "doc_length_ntile", "customer_order_dist",
+    "customers_with_events_bloom", "events_value_zscore", "events_funnel",
+    "supplier_counts_cube", "doc_bigram_pmi", "events_latest_per_user",
+    "events_value_histogram",
+})
+
+# Everything with a green driver CORRECTNESS row from ANY prior round.  The
+# 22 oracle-backed entries NOT in this union (judge-verified only, rounds
+# 3-4) rotate to the head of the round-5 window — one more rotation closes
+# cumulative driver coverage at 118/118.
+_DRIVER_VERIFIED = _R3_DRIVER_VERIFIED | _R4_DRIVER_VERIFIED
+
+# A handful of driver-green canaries kept inside each round's window so a
 # regression in already-verified machinery (exchange core, joins, sessions,
 # IVF dedup) would still surface in the driver gate.
 _WINDOW_CANARIES = (
     "doc_normalize_ws",       # markup → normalize scan path
     "pricing_summary",        # partial-agg + coarse exchange (TPC-H Q1)
-    "events_sessions",        # sessionization window machinery
+    "events_sessions",        # sessionization window machinery (r5: now lazy)
     "emb_dedup_bucketed",     # IVF-bucketed near-dup (the 100-TB dedup path)
 )
 
-# Oracle-backed queries ADDED in round 4 — placed right after the canaries so
-# this round's riskiest new code gets a driver CORRECTNESS row immediately
-# (old never-verified entries they displace rotate in next round).
-_R4_NEW_PRIORITY = (
-    "emb_triangle_counts_bucketed",
-    "emb_kcore_bucketed",
-    "doc_dictionary_join",
-    "events_value_quantiles_by_type",
-    "emb_pq_topk",
-    "emb_pq_topk_rerank",
-    "emb_pq_codes",
-)
+# Oracle-backed queries ADDED in round 5 — placed right after the canaries so
+# this round's riskiest new code gets a driver CORRECTNESS row immediately.
+_R5_NEW_PRIORITY: tuple = ()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registry ordered for maximal cumulative driver verification.
 
     The driver's correctness gate verifies only a prefix of this dict (the
-    first ~50 entries in iteration order).  Round 3 proved the first 50;
-    round 4 rotates the window: a few green canaries first, then every
-    oracle-backed query that has NEVER had a driver CORRECTNESS row
-    (registry order — round-4 additions land here automatically), then the
-    remaining round-3-verified entries, then the no-oracle tail (those only
-    get a weak rows-only check anyway).
+    first ~50 entries in iteration order).  Rounds 3-4 proved 100 distinct
+    entries; round 5 rotates the window once more: the green canaries first,
+    then round-5 additions, then every oracle-backed query that has NEVER
+    had a driver CORRECTNESS row (the 22 judge-verified-only entries — this
+    closes cumulative driver coverage at 118/118), then the remaining
+    driver-verified entries, then the no-oracle tail (those only get a weak
+    rows-only check anyway).
     """
     reg = _registry()
     with_oracle = set(oracle_sql())
     names = list(reg)
     canaries = [k for k in _WINDOW_CANARIES if k in reg]
     head = canaries + [
-        k for k in _R4_NEW_PRIORITY if k in reg and k in with_oracle
+        k for k in _R5_NEW_PRIORITY if k in reg and k in with_oracle
     ]
     never = [
         k for k in names
         if k in with_oracle
-        and k not in _R3_DRIVER_VERIFIED
+        and k not in _DRIVER_VERIFIED
         and k not in head
     ]
     verified = [
         k for k in names
-        if k in with_oracle and k in _R3_DRIVER_VERIFIED and k not in head
+        if k in with_oracle and k in _DRIVER_VERIFIED and k not in head
     ]
     tail = [k for k in names if k not in with_oracle]
     return {k: reg[k] for k in head + never + verified + tail}

@@ -241,19 +241,25 @@ def test_registry_orders_oracle_backed_first():
             assert not tail_started, f"oracle-backed {name!r} after a no-oracle entry"
     assert all(k in witho for k in q[:50])
 
-    # Round-4 window rotation: after the canaries, every entry that has never
-    # had a driver CORRECTNESS row (not in the frozen round-3 window) must
-    # precede all round-3-verified entries, so the driver's 50-entry prefix
+    # Window rotation: after the canaries (+ this round's new-query priority
+    # block), every entry that has never had a driver CORRECTNESS row must
+    # precede all driver-verified entries, so the driver's 50-entry prefix
     # maximizes NEW cumulative verification each round.
     canaries = list(entry._WINDOW_CANARIES)
     assert q[: len(canaries)] == canaries
-    rest = [k for k in q if k in witho and k not in canaries]
+    priority = [k for k in entry._R5_NEW_PRIORITY if k in witho]
+    assert q[len(canaries): len(canaries) + len(priority)] == priority
+    rest = [k for k in q
+            if k in witho and k not in canaries and k not in priority]
     seen_verified = False
     for name in rest:
-        if name in entry._R3_DRIVER_VERIFIED:
+        if name in entry._DRIVER_VERIFIED:
             seen_verified = True
         else:
             assert not seen_verified, (
                 f"never-driver-verified {name!r} ordered after a "
-                "round-3-verified entry"
+                "driver-verified entry"
             )
+    # the 22 judge-only entries all fit inside the round-5 window
+    never = [k for k in q if k in witho and k not in entry._DRIVER_VERIFIED]
+    assert set(never).issubset(set(q[:50])), never
