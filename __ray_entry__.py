@@ -67,32 +67,22 @@ def _flagship(n_pages: int, batch_size: int = 8, concurrency=(2, 8)):
                               "corrected_text"])
 
 
-def _flagship_dictionary(n_pages: int):
-    """End-to-end dictionary-corrector story (reference §3.1+§3.3 in one
-    graph): pages → extract → keyed noise → vocabulary groupby over the clean
-    text → broadcast dictionary correction of the noisy text → per-url CER.
-
-    The extracted corpus is consumed twice (vocab build + correction), so it
-    is a COMMITTED PARTITIONED PARQUET STAGE (state/lineage.py::commit_by_key
-    — the engine's resumable checkpoint protocol), not an object-store
-    materialize: the 100-TB posture is that multi-consumer intermediates live
-    in durable storage with per-partition lineage, and a re-run (the bench
-    harness times best-of-two) resumes by skipping every committed partition
-    before any extraction work happens.  The synthetic input is deterministic
-    per n_pages, so the store key includes n_pages.
-    """
+def _flagship_dict_corpus(n_pages: int):
+    """The committed extraction corpus shared by BOTH dictionary flagships
+    (broadcast + joined): pages → extract → (url, clean), committed as a
+    PARTITIONED PARQUET STAGE (state/lineage.py::commit_by_key — the
+    engine's resumable checkpoint protocol), not an object-store
+    materialize.  The 100-TB posture: multi-consumer intermediates live in
+    durable storage with per-partition lineage, and a re-run (the bench
+    harness times best-of-two, and the two flagship variants here) resumes
+    by skipping every committed partition before any extraction work
+    happens.  The synthetic input is deterministic per n_pages, so the
+    store key includes n_pages."""
     import pyarrow as pa
 
-    import ray
-
-    from post_ocr_corrector_ray.pipelines.corpus import build_dictionary
-    from post_ocr_corrector_ray.pipelines.evaluate import add_cer_column
     from post_ocr_corrector_ray.pipelines.extract_correct import extract_pipeline
     from post_ocr_corrector_ray.state.lineage import commit_by_key, read_output_ds
-    from post_ocr_corrector_ray.stages.correct import DictionaryCorrectorStage
-    from post_ocr_corrector_ray.stages.noise import add_messy_column
 
-    good_chars = "".join(c for c in FLAGSHIP_ALPHABET if not c.isupper())
     ds = extract_pipeline(_synthetic_pages(n_pages))
 
     def project(batch: pa.Table) -> pa.Table:
@@ -105,7 +95,24 @@ def _flagship_dictionary(n_pages: int):
                   input_fingerprint=f"synthetic_pages:{n_pages}",
                   stage_versions={"extract": 1, "project": 1}) \
         .materialize()  # consume the tiny per-partition commit summary
-    corpus = read_output_ds(store)
+    return read_output_ds(store)
+
+
+def _flagship_dictionary(n_pages: int):
+    """End-to-end dictionary-corrector story (reference §3.1+§3.3 in one
+    graph): pages → extract → keyed noise → vocabulary groupby over the clean
+    text → broadcast dictionary correction of the noisy text → per-url CER.
+    The extracted corpus is the shared committed store
+    (``_flagship_dict_corpus``)."""
+    import ray
+
+    from post_ocr_corrector_ray.pipelines.corpus import build_dictionary
+    from post_ocr_corrector_ray.pipelines.evaluate import add_cer_column
+    from post_ocr_corrector_ray.stages.correct import DictionaryCorrectorStage
+    from post_ocr_corrector_ray.stages.noise import add_messy_column
+
+    good_chars = "".join(c for c in FLAGSHIP_ALPHABET if not c.isupper())
+    corpus = _flagship_dict_corpus(n_pages)
     corr = build_dictionary(corpus, text_col="clean", split=None, min_frequency=2)
     noisy = corpus.map_batches(add_messy_column, batch_format="pyarrow",
                                fn_kwargs=dict(good_chars=good_chars))
@@ -120,6 +127,42 @@ def _flagship_dictionary(n_pages: int):
         fn_kwargs=dict(out_col="corrected_text", correct_col="clean",
                        banded=True, skip_empty_correct=True))
     return scored
+
+
+def _flagship_dictionary_joined(n_pages: int):
+    """The partitioned-vocabulary twin of ``_flagship_dictionary`` on the
+    SAME committed extraction corpus (r4 verdict #7): pages → extract →
+    shared committed store → keyed noise → (token, frequency) DATASET vocab →
+    ``stages/dictjoin.py::dictionary_correct_joined`` (metric="osa") →
+    per-url CER.  Byte-identity with the broadcast flagship is pytest-pinned
+    (tests/test_pipeline_e2e.py).  This is the flagship graph a vocabulary
+    too large to ``ray.put`` would run — no driver-held vocab anywhere; the
+    url string IS the doc key throughout (the north_rule's per-url contract —
+    no synthetic int key, no hash-collision caveat)."""
+    from post_ocr_corrector_ray.pipelines.corpus import token_counts
+    from post_ocr_corrector_ray.pipelines.evaluate import add_cer_column
+    from post_ocr_corrector_ray.stages.joins import hash_join
+    from post_ocr_corrector_ray.stages.dictjoin import dictionary_correct_joined
+    from post_ocr_corrector_ray.stages.noise import add_messy_column
+
+    good_chars = "".join(c for c in FLAGSHIP_ALPHABET if not c.isupper())
+    corpus = _flagship_dict_corpus(n_pages)
+    vocab = token_counts(corpus, text_col="clean", split=None)
+    noisy = corpus.map_batches(add_messy_column, batch_format="pyarrow",
+                               fn_kwargs=dict(good_chars=good_chars))
+    corrected = dictionary_correct_joined(
+        noisy.select_columns(["url", "messy"]), vocab,
+        id_col="url", text_col="messy", min_frequency=2, metric="osa")
+    rejoined = hash_join(
+        noisy.select_columns(["url", "clean", "messy"]),
+        corrected.map_batches(
+            lambda t: t.rename_columns(["url", "corrected_text"]),
+            batch_format="pyarrow"),
+        on="url", how="inner")
+    return rejoined.map_batches(
+        add_cer_column, batch_format="pyarrow",
+        fn_kwargs=dict(out_col="corrected_text", correct_col="clean",
+                       banded=True, skip_empty_correct=True))
 
 
 def _media_metadata(n: int):
@@ -311,6 +354,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # flagship + reference-semantics pipelines (rows-only where non-SQL)
         "flagship_extract_correct": lambda sf: _flagship(n_pages=120),
         "flagship_dictionary": lambda sf: _flagship_dictionary(n_pages=300),
+        "flagship_dictionary_joined":
+            lambda sf: _flagship_dictionary_joined(n_pages=300),
         "doc_mutilate": D.doc_mutilate,
         "doc_null_corrector_cer": D.doc_null_corrector_cer,
         # reference text semantics with SQL twins

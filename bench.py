@@ -40,6 +40,11 @@ def _n_pages(sf_dir: str) -> int:
 
 
 def run_benchmarks() -> dict:
+    # Host-load calibration BEFORE anything else (r4 verdict: the committed
+    # bench must be self-evidently trustworthy — a loaded-host run shows up
+    # as depressed mips here, not as unexplained headline inflation).
+    calib_start = _cpu_calibration((1, NUM_CPUS))
+
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -167,8 +172,26 @@ def run_benchmarks() -> dict:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # headline a SECOND time, LAST in the suite (r4 verdict: two readings
+    # bracket the run, so host-load drift during the suite is visible in the
+    # artifact itself instead of a 65-vs-121 ambiguity in prose).  Skipped in
+    # HEADLINE_ONLY mode (the scaling legs time exactly one headline each).
+    headline_end = None
+    n_rows_end = None
+    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        t0 = time.time()
+        ds_end = entry._flagship(n_pages=n_pages, batch_size=8,
+                                 concurrency=max(1, min(NUM_CPUS - 2,
+                                                        (NUM_CPUS * 3) // 4)))
+        n_rows_end = sum(b.num_rows
+                         for b in ds_end.iter_batches(batch_size=4096,
+                                                      batch_format="pyarrow"))
+        headline_end = time.time() - t0
+        timings["flagship_extract_correct_final"] = round(headline_end, 3)
+
     ray.shutdown()
-    return {
+    calib_end = _cpu_calibration((NUM_CPUS,))
+    rec = {
         "metric": "flagship extract+correct wall seconds (synthetic pages, n tied to sf)",
         "value": round(headline, 3),
         "unit": "sec",
@@ -177,8 +200,15 @@ def run_benchmarks() -> dict:
         "num_cpus": NUM_CPUS,
         "n_pages": n_pages,
         "docs_per_sec": round(n_rows / headline, 2) if headline > 0 else None,
+        "cpu_calibration_mips": {"start": calib_start, "end": calib_end},
         "flagship_stats": flagship_stats,
     }
+    if headline_end is not None:
+        rec["headline_first_sec"] = round(headline, 3)
+        rec["headline_final_sec"] = round(headline_end, 3)
+        rec["docs_per_sec_final"] = (round(n_rows_end / headline_end, 2)
+                                     if headline_end > 0 else None)
+    return rec
 
 
 def _burn(_):

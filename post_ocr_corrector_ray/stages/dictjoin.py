@@ -59,19 +59,24 @@ from .textstats import _split_words
 def tokenize_occurrences(ds: ray.data.Dataset, *, id_col: str,
                          text_col: str) -> ray.data.Dataset:
     """(id, pos, token) per word occurrence + one (id, -1, "") sentinel per
-    document (so zero-token documents still rebuild to "")."""
+    document (so zero-token documents still rebuild to "").  The id column
+    keeps its ORIGINAL Arrow type (r5: string urls are first-class doc keys —
+    the north_rule's byte-identity contract is per url, so the flagship
+    needs no synthetic int key); only float ids are unsupported (the join
+    engine's int-through-float64 restore would be ambiguous)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).combine_chunks()
         flat, counts = _split_words(texts)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
-                   .astype(np.int64)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
         offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
         pos = (np.arange(len(flat), dtype=np.int64) - offsets[row_idx])
         sent_tok = pa.array([""] * len(ids), pa.string())
         return pa.table({
-            id_col: pa.array(np.concatenate([ids[row_idx], ids]), pa.int64()),
+            id_col: pa.concat_arrays([ids.take(pa.array(row_idx)), ids]),
             "pos": pa.array(np.concatenate(
                 [pos, np.full(len(ids), -1, np.int64)]), pa.int64()),
             "token": pa.concat_arrays(
@@ -251,16 +256,21 @@ def dictionary_correct_joined(corpus: ray.data.Dataset,
         corrected_oov = hash_join(oov, corrections, on="token", how="left",
                                   num_partitions=p)
 
+    def _restore_id(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+        # int ids come back float64 from the join engine's side-unique-int
+        # pinning (exact below 2**53); string ids pass through untouched
+        return col.cast(pa.int64()) if pa.types.is_floating(col.type) else col
+
     def coalesce(batch: pa.Table) -> pa.Table:
         cand = batch.column("cand") if "cand" in batch.column_names \
             else pa.nulls(batch.num_rows, pa.string())
         out = pc.coalesce(cand, batch.column("token"))
-        return pa.table({id_col: batch.column(id_col).cast(pa.int64()),
+        return pa.table({id_col: _restore_id(batch.column(id_col)),
                          "pos": batch.column("pos").cast(pa.int64()),
                          "ctok": out})
 
     def passthrough(batch: pa.Table) -> pa.Table:
-        return pa.table({id_col: batch.column(id_col).cast(pa.int64()),
+        return pa.table({id_col: _restore_id(batch.column(id_col)),
                          "pos": batch.column("pos").cast(pa.int64()),
                          "ctok": batch.column("token")})
 
@@ -273,7 +283,7 @@ def dictionary_correct_joined(corpus: ray.data.Dataset,
         real = df[df["pos"] >= 0]
         joined = real.groupby(id_col)["ctok"].agg(" ".join)
         all_ids = df[id_col].drop_duplicates()
-        out = pd.DataFrame({id_col: all_ids.to_numpy(np.int64)})
+        out = pd.DataFrame({id_col: all_ids.to_numpy()})  # any id dtype
         out["corrected"] = out[id_col].map(joined).fillna("")
         return out
 

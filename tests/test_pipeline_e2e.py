@@ -3,6 +3,7 @@ invariant to batch size / parallelism; partitioned commit + resume."""
 
 import os
 
+import numpy as np
 import pyarrow.parquet as pq
 import pytest
 
@@ -321,3 +322,35 @@ class TestFlagshipDictionaryCommittedIntermediate:
         for pid, mt in mtimes.items():
             assert os.path.getmtime(os.path.join(
                 lin.partition_dir(store, pid), "data.parquet")) == mt
+
+    def test_joined_flagship_byte_identical_to_broadcast(self):
+        """``_flagship_dictionary_joined`` (vocabulary as a DATASET, dictjoin
+        partitioned scan) corrects every url byte-identically to the
+        broadcast ``_flagship_dictionary`` — the same corpus, noise, vocab
+        threshold, and osa metric, through a completely different dataflow.
+        It also shares (resumes from) the broadcast flagship's committed
+        corpus store rather than re-extracting."""
+        import shutil
+        import sys
+
+        sys.path.insert(0, os.getcwd())
+        import __ray_entry__ as entry
+
+        store = "/tmp/flagship_dict_corpus_n40"
+        shutil.rmtree(store, ignore_errors=True)
+        broad = entry._flagship_dictionary(40).to_pandas()
+        mtimes = {r["partition"]: os.path.getmtime(
+            os.path.join(lin.partition_dir(store, r["partition"]), "data.parquet"))
+            for r in lin.read_lineage(store)}
+        joined = entry._flagship_dictionary_joined(40).to_pandas()
+        # shared store: the joined variant committed nothing new
+        for pid, mt in mtimes.items():
+            assert os.path.getmtime(os.path.join(
+                lin.partition_dir(store, pid), "data.parquet")) == mt
+        assert len(joined) == len(broad) == 40
+        b = broad.set_index("url").sort_index()
+        j = joined.set_index("url").sort_index()
+        assert j["corrected_text"].tolist() == b["corrected_text"].tolist()
+        # NaN CER (empty clean text, skip_empty_correct) must match positionally
+        np.testing.assert_array_equal(j["cer"].to_numpy(),
+                                      b["cer"].to_numpy())
