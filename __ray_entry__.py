@@ -313,7 +313,7 @@ _WINDOW_CANARIES = (
 
 # Oracle-backed queries ADDED in round 5 — placed right after the canaries so
 # this round's riskiest new code gets a driver CORRECTNESS row immediately.
-_R5_NEW_PRIORITY: tuple = ()
+_R5_NEW_PRIORITY: tuple = ("emb_pq_codes_incremental",)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -438,6 +438,10 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "emb_pq_codes": lambda sf: __import__(
             "post_ocr_corrector_ray.stages.pq", fromlist=["pq_codes_long"]
         ).pq_codes_long(E.emb_pq_codes(sf)),
+        # two-wave append-only PQ ingest against a FROZEN committed codebook
+        # store (stages/pq.py::pq_encode_incremental; wave 2 never retrains)
+        "emb_pq_codes_incremental":
+            lambda sf: E.emb_pq_codes_incremental(sf),
         # fixed-round k-core peel (iterative degree filter, unrolled oracle)
         "emb_kcore": lambda sf: E.emb_kcore(sf),
         # 100-TB twin: same peel over the bucketed k-NN graph
@@ -683,11 +687,14 @@ def _oracle_centroids(n_clusters: int = 16):
     return kmeans_fit(sample, n_clusters, seed=42), t, ids
 
 
-def _oracle_pq_constants():
-    """(codebooks, query vector) re-derived OUTSIDE Ray for the generated PQ
-    oracles: the same id-hash sample feeds the engine's own
-    ``pq_train_local`` (shared code — inlined constants ARE the engine's
-    codebooks by construction); the query is the vec_id=0 row."""
+def _oracle_pq_books(max_id: int | None = None) -> np.ndarray:
+    """Codebooks re-derived OUTSIDE Ray: the engine's own deterministic
+    id-hash sample (``train_quantizer_sample`` algebra) feeding its own
+    ``pq_train_local`` — inlined oracle constants ARE the engine's codebooks
+    by construction.  ``max_id`` restricts the training population to wave 1
+    (``vec_id < max_id``) for the incremental-ingest twin; the sample
+    fraction then uses the WAVE's row count, exactly as the engine's
+    ``approx_count=split`` does."""
     import pyarrow.parquet as pq
 
     from post_ocr_corrector_ray.functions.hashing import hash_u64_array
@@ -696,16 +703,29 @@ def _oracle_pq_constants():
     t = pq.read_table(f"{_ORACLE_SF_DIR}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
     ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
-    frac = min(1.0, 4096 / max(len(ids), 1))
-    keep = (np.ones(len(ids), dtype=bool) if frac >= 1.0
-            else hash_u64_array(ids.astype(np.uint64), seed=7)
+    sub = np.arange(len(ids)) if max_id is None \
+        else np.nonzero(ids < max_id)[0]
+    sub_ids = ids[sub]
+    frac = min(1.0, 4096 / max(len(sub_ids), 1))
+    keep = (np.ones(len(sub_ids), dtype=bool) if frac >= 1.0
+            else hash_u64_array(sub_ids.astype(np.uint64), seed=7)
             < np.uint64(int(frac * float(2 ** 64))))
-    order = np.argsort(ids[keep])
+    order = np.argsort(sub_ids[keep])
     sample = np.array(t.column("embedding").take(
-        np.nonzero(keep)[0]).to_pylist(), dtype=np.float64)[order]
-    books = pq_train_local(sample)
-    qrow = int(np.nonzero(ids == 0)[0][0])
-    query = np.array(t.column("embedding")[qrow].as_py(), dtype=np.float64)
+        sub[np.nonzero(keep)[0]]).to_pylist(), dtype=np.float64)[order]
+    return pq_train_local(sample)
+
+
+def _oracle_pq_constants():
+    """(full-table codebooks, vec_id=0 query vector) for the emb_pq_*
+    oracles."""
+    import pyarrow.parquet as pq
+
+    books = _oracle_pq_books()
+    t = pq.read_table(f"{_ORACLE_SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])
+    query = np.array(t.column("embedding")[0].as_py(), dtype=np.float64)
     return books, query
 
 
@@ -2403,6 +2423,11 @@ def oracle_sql() -> dict[str, str]:
         out["emb_pq_topk_rerank"] = pq_rerank_oracle_sql(_books, _pq_query,
                                                          k=10, rerank=200)
         out["emb_pq_codes"] = pq_codes_oracle_sql(_books)
+        from post_ocr_corrector_ray.pipelines.embeddings import pq_wave_split
+
+        _split = pq_wave_split(_ORACLE_SF_DIR)
+        out["emb_pq_codes_incremental"] = pq_codes_oracle_sql(
+            _oracle_pq_books(max_id=_split), where=f"vec_id >= {_split}")
     if os.path.exists(f"{_ORACLE_SF_DIR}/documents.parquet"):
         out["doc_mix_materialize"] = _mix_oracle_sql()
     return out

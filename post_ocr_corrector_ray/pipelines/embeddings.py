@@ -169,6 +169,42 @@ def emb_pq_topk_rerank(sf_dir: str, k: int = 10,
                               _pq_books(sf_dir), k=k, rerank=rerank)
 
 
+def pq_wave_split(sf_dir: str) -> int:
+    """The two-wave append-only boundary: vec_id < split is wave 1 (trains +
+    freezes the codebooks), vec_id >= split is the ingest wave.  Shared by
+    the engine and the oracle-constant derivation so both sides see the
+    identical wave-1 training population."""
+    return _emb_count(sf_dir) // 2
+
+
+def emb_pq_codes_incremental(sf_dir: str) -> ray.data.Dataset:
+    """Two-wave append-only PQ ingest (stages/pq.py::pq_encode_incremental —
+    the serving-side story a 100-TB ANN index needs): wave 1 (vec_id <
+    split) trains codebooks on its OWN deterministic sample and freezes them
+    as a committed parquet store; wave 2 (vec_id >= split) encodes against
+    the FROZEN store — no retraining, no rescan of wave 1, byte-identical
+    reuse (pytest-pinned).  Returns wave-2 codes in SQL-comparable long
+    format; the generated oracle re-derives the wave-1-trained codebooks
+    outside Ray and re-encodes wave 2 from the inlined constants."""
+    from ..stages.pq import pq_codes_long, pq_encode_incremental, \
+        pq_store_exists
+
+    split = pq_wave_split(sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    store = f"/tmp/pq_store_{tag}_s{split}"
+    wave1 = _emb(sf_dir).filter(expr=f"vec_id < {split}")
+    if not pq_store_exists(store):
+        # wave 1: train + freeze (consume the codes to exercise the pass)
+        codes1, _, trained = pq_encode_incremental(
+            wave1, store, approx_count=split)
+        assert trained
+    wave2 = _emb(sf_dir).filter(expr=f"vec_id >= {split}")
+    codes2, _, trained = pq_encode_incremental(
+        wave2, store, approx_count=_emb_count(sf_dir) - split)
+    assert not trained  # the frozen store is authoritative for every wave ≥ 2
+    return pq_codes_long(codes2)
+
+
 def emb_pq_codes(sf_dir: str) -> ray.data.Dataset:
     """Materialized PQ codes — the stored-column form of the compressed
     index ((vec_id, 8-byte code) per 64-dim vector: 32× smaller than the

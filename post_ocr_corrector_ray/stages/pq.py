@@ -148,6 +148,92 @@ def _binary_to_codes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return np.frombuffer(b"".join(raw), dtype=np.uint8).reshape(n, m_sub)
 
 
+def pq_store_save(codebooks: np.ndarray, store_dir: str, *,
+                  meta: dict | None = None) -> None:
+    """Freeze trained codebooks as a committed parquet artifact
+    (``codebooks.parquet``: m, cw, d, value) + ``meta.json`` — the small-side
+    state an append-only ingest reuses verbatim (the signature-store pattern
+    of ``stages/dedup.py::minhash_duplicate_pairs_incremental``; reference
+    analog: vocabulary built once then applied,
+    dictionary_corrector.py:54-76).  Atomic: tmp file + ``os.replace``, so a
+    concurrent reader never sees a torn store."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(store_dir, exist_ok=True)
+    m_sub, ksub, dsub = codebooks.shape
+    t = pa.table({
+        "m": pa.array(np.repeat(np.arange(m_sub, dtype=np.int64),
+                                ksub * dsub)),
+        "cw": pa.array(np.tile(np.repeat(np.arange(ksub, dtype=np.int64),
+                                         dsub), m_sub)),
+        "d": pa.array(np.tile(np.arange(dsub, dtype=np.int64), m_sub * ksub)),
+        "value": pa.array(codebooks.reshape(-1).astype(np.float64)),
+    })
+    tmp = os.path.join(store_dir, "codebooks.parquet.tmp")
+    pq.write_table(t, tmp)
+    os.replace(tmp, os.path.join(store_dir, "codebooks.parquet"))
+    m = {"m_subspaces": int(m_sub), "ksub": int(ksub), "dsub": int(dsub),
+         "scale": _SCALE, **(meta or {})}
+    tmpm = os.path.join(store_dir, "meta.json.tmp")
+    with open(tmpm, "w", encoding="utf-8") as f:
+        json.dump(m, f, indent=1, sort_keys=True)
+    os.replace(tmpm, os.path.join(store_dir, "meta.json"))
+
+
+def pq_store_load(store_dir: str) -> np.ndarray:
+    """Load frozen codebooks — exact float64 round-trip of
+    ``pq_store_save`` (parquet doubles; pytest pins array equality)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(store_dir, "meta.json"), encoding="utf-8") as f:
+        meta = json.load(f)
+    m_sub, ksub, dsub = meta["m_subspaces"], meta["ksub"], meta["dsub"]
+    t = pq.read_table(os.path.join(store_dir, "codebooks.parquet"))
+    # canonical (m, cw, d) order regardless of writer layout
+    order = np.lexsort((t.column("d").to_numpy(), t.column("cw").to_numpy(),
+                        t.column("m").to_numpy()))
+    vals = t.column("value").to_numpy(zero_copy_only=False)[order]
+    return vals.reshape(m_sub, ksub, dsub)
+
+
+def pq_store_exists(store_dir: str) -> bool:
+    import os
+
+    return (os.path.exists(os.path.join(store_dir, "codebooks.parquet"))
+            and os.path.exists(os.path.join(store_dir, "meta.json")))
+
+
+def pq_encode_incremental(new_vecs: ray.data.Dataset, store_dir: str, *,
+                          m_subspaces: int = 8, ksub: int = 16,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          approx_count: int | None = None
+                          ) -> tuple[ray.data.Dataset, np.ndarray, bool]:
+    """Append-only PQ ingest (r4 verdict #6): if ``store_dir`` holds frozen
+    codebooks, encode this wave against them verbatim — NO training pass, so
+    wave-2+ codes are byte-identical to what wave-1's codebooks produce
+    (pytest-pinned).  Otherwise this IS wave 1: train on this wave's
+    deterministic sample and freeze the store.  Returns
+    (codes_dataset, codebooks, trained_this_call)."""
+    if pq_store_exists(store_dir):
+        books = pq_store_load(store_dir)
+        trained = False
+    else:
+        books = pq_train(new_vecs, m_subspaces=m_subspaces, ksub=ksub,
+                         vec_col=vec_col, id_col=id_col,
+                         approx_count=approx_count)
+        pq_store_save(books, store_dir)
+        trained = True
+    return pq_encode(new_vecs, books, vec_col=vec_col, id_col=id_col), \
+        books, trained
+
+
 def pq_adc_topk(ds: ray.data.Dataset, query: np.ndarray,
                 codebooks: np.ndarray, *, k: int = 10,
                 vec_col: str = "embedding",
@@ -341,13 +427,16 @@ def _pq_cb_cte(cb_int: np.ndarray) -> tuple[str, str, int]:
     return cb_rows, body, dsub
 
 
-def pq_codes_oracle_sql(codebooks: np.ndarray) -> str:
+def pq_codes_oracle_sql(codebooks: np.ndarray, *, where: str = "") -> str:
     """Generated DuckDB twin of ``pq_codes_long``: (vec_id, m, codeword)
-    re-derived by exact-int64 argmin over the inlined codebooks."""
+    re-derived by exact-int64 argmin over the inlined codebooks.  ``where``
+    restricts the encoded population (the incremental-ingest twin encodes
+    only the new wave: ``vec_id >= split``)."""
     cb_rows, body, _ = _pq_cb_cte(_codebooks_int(codebooks))
+    tail = f" WHERE {where}" if where else ""
     return f"""
         WITH cb(m, cw, d, c_int) AS (VALUES {cb_rows}),{body}
-        SELECT vec_id, m, CAST(cw AS BIGINT) AS codeword FROM assign"""
+        SELECT vec_id, m, CAST(cw AS BIGINT) AS codeword FROM assign{tail}"""
 
 
 def pq_oracle_sql(codebooks: np.ndarray, query: np.ndarray, *,
