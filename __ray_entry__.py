@@ -313,7 +313,7 @@ _WINDOW_CANARIES = (
 
 # Oracle-backed queries ADDED in round 5 — placed right after the canaries so
 # this round's riskiest new code gets a driver CORRECTNESS row immediately.
-_R5_NEW_PRIORITY: tuple = ("emb_pq_codes_incremental",)
+_R5_NEW_PRIORITY: tuple = ("emb_pq_codes_incremental", "emb_ivfadc_topk")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -442,6 +442,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # store (stages/pq.py::pq_encode_incremental; wave 2 never retrains)
         "emb_pq_codes_incremental":
             lambda sf: E.emb_pq_codes_incremental(sf),
+        # IVFADC: inverted-file probe + ADC over residual PQ codes — the
+        # full FAISS-style compressed serving index (generated SQL twin)
+        "emb_ivfadc_topk": lambda sf: E.emb_ivfadc_topk(sf),
         # fixed-round k-core peel (iterative degree filter, unrolled oracle)
         "emb_kcore": lambda sf: E.emb_kcore(sf),
         # 100-TB twin: same peel over the bucketed k-NN graph
@@ -687,18 +690,15 @@ def _oracle_centroids(n_clusters: int = 16):
     return kmeans_fit(sample, n_clusters, seed=42), t, ids
 
 
-def _oracle_pq_books(max_id: int | None = None) -> np.ndarray:
-    """Codebooks re-derived OUTSIDE Ray: the engine's own deterministic
-    id-hash sample (``train_quantizer_sample`` algebra) feeding its own
-    ``pq_train_local`` — inlined oracle constants ARE the engine's codebooks
-    by construction.  ``max_id`` restricts the training population to wave 1
-    (``vec_id < max_id``) for the incremental-ingest twin; the sample
-    fraction then uses the WAVE's row count, exactly as the engine's
-    ``approx_count=split`` does."""
+def _oracle_pq_sample(max_id: int | None = None) -> np.ndarray:
+    """The engine's deterministic id-hash training sample
+    (``train_quantizer_sample`` algebra) re-derived OUTSIDE Ray.  ``max_id``
+    restricts the population to wave 1 (``vec_id < max_id``) for the
+    incremental-ingest twin; the sample fraction then uses the WAVE's row
+    count, exactly as the engine's ``approx_count=split`` does."""
     import pyarrow.parquet as pq
 
     from post_ocr_corrector_ray.functions.hashing import hash_u64_array
-    from post_ocr_corrector_ray.stages.pq import pq_train_local
 
     t = pq.read_table(f"{_ORACLE_SF_DIR}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
@@ -711,9 +711,17 @@ def _oracle_pq_books(max_id: int | None = None) -> np.ndarray:
             else hash_u64_array(sub_ids.astype(np.uint64), seed=7)
             < np.uint64(int(frac * float(2 ** 64))))
     order = np.argsort(sub_ids[keep])
-    sample = np.array(t.column("embedding").take(
+    return np.array(t.column("embedding").take(
         sub[np.nonzero(keep)[0]]).to_pylist(), dtype=np.float64)[order]
-    return pq_train_local(sample)
+
+
+def _oracle_pq_books(max_id: int | None = None) -> np.ndarray:
+    """Codebooks re-derived OUTSIDE Ray: the oracle sample feeding the
+    engine's own ``pq_train_local`` — inlined oracle constants ARE the
+    engine's codebooks by construction."""
+    from post_ocr_corrector_ray.stages.pq import pq_train_local
+
+    return pq_train_local(_oracle_pq_sample(max_id))
 
 
 def _oracle_pq_constants():
@@ -2428,6 +2436,12 @@ def oracle_sql() -> dict[str, str]:
         _split = pq_wave_split(_ORACLE_SF_DIR)
         out["emb_pq_codes_incremental"] = pq_codes_oracle_sql(
             _oracle_pq_books(max_id=_split), where=f"vec_id >= {_split}")
+        from post_ocr_corrector_ray.stages.pq import (
+            ivfadc_oracle_sql, ivfadc_train_local)
+
+        _cents, _rbooks = ivfadc_train_local(_oracle_pq_sample())
+        out["emb_ivfadc_topk"] = ivfadc_oracle_sql(
+            _cents, _rbooks, _pq_query, k=10, n_probe=4)
     if os.path.exists(f"{_ORACLE_SF_DIR}/documents.parquet"):
         out["doc_mix_materialize"] = _mix_oracle_sql()
     return out

@@ -152,6 +152,8 @@ def run_benchmarks() -> dict:
         "doc_dictionary_join", "events_value_quantiles_by_type",
         "events_value_quantiles_sketch_by_type",
         "emb_pq_topk", "emb_pq_topk_rerank", "emb_pq_codes",
+        "emb_pq_codes_incremental", "emb_ivfadc_topk",
+        "flagship_dictionary_joined",
     ]
     # Each query is timed as the best of two consecutive runs: the first
     # execution in a session pays Ray worker-pool spin-up and parquet

@@ -169,6 +169,36 @@ def emb_pq_topk_rerank(sf_dir: str, k: int = 10,
                               _pq_books(sf_dir), k=k, rerank=rerank)
 
 
+_IVFADC_CACHE: dict[str, tuple] = {}
+
+
+def _ivfadc_constants(sf_dir: str):
+    """One IVFADC training pass per table (coarse centroids + residual
+    codebooks), memoized — deterministic in sf_dir, shared by the topk and
+    (future) index-build callers."""
+    got = _IVFADC_CACHE.get(sf_dir)
+    if got is None:
+        from ..stages.pq import ivfadc_train
+
+        got = ivfadc_train(_emb(sf_dir), approx_count=_emb_count(sf_dir))
+        _IVFADC_CACHE[sf_dir] = got
+    return got
+
+
+def emb_ivfadc_topk(sf_dir: str, k: int = 10, n_probe: int = 4) -> pa.Table:
+    """IVFADC top-k (stages/pq.py::ivfadc_topk) — the FULL FAISS-style
+    compressed serving index: inverted-file probe (n_probe of 16 cells) +
+    asymmetric distance over residual PQ codes.  Exact-int64 end to end, so
+    the generated SQL twin (inlined centroids / residual codebooks /
+    per-cell LUTs) hash-matches; recall vs uncompressed search is
+    pytest-pinned."""
+    from ..stages.pq import ivfadc_topk
+
+    cents, books = _ivfadc_constants(sf_dir)
+    return ivfadc_topk(_emb(sf_dir), _query_vector(sf_dir, 0), cents, books,
+                       k=k, n_probe=n_probe)
+
+
 def pq_wave_split(sf_dir: str) -> int:
     """The two-wave append-only boundary: vec_id < split is wave 1 (trains +
     freezes the codebooks), vec_id >= split is the ingest wave.  Shared by

@@ -466,3 +466,221 @@ def pq_oracle_sql(codebooks: np.ndarray, query: np.ndarray, *,
         FROM adc
         ORDER BY adc_int, vec_id
         LIMIT {k}"""
+
+
+# --- IVFADC: coarse inverted file + PQ over residuals -------------------------
+
+
+def _assign_int(v_int: np.ndarray, cent_int: np.ndarray) -> np.ndarray:
+    """Exact-int64 coarse assignment (ties → lowest centroid id): (n,) int64
+    cluster ids for (n, dim) int-scaled vectors vs (k, dim) int-scaled
+    centroids.  Shared by index build and the oracle generator's probe-list
+    derivation so every layout/SQL twin agrees on borderline vectors."""
+    d2 = ((v_int[:, None, :] - cent_int[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1).astype(np.int64)
+
+
+def ivfadc_train_local(sample: np.ndarray, *, n_clusters: int = 16,
+                       m_subspaces: int = 8, ksub: int = 16,
+                       n_iter: int = 10,
+                       seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """(centroids, residual codebooks) — the full IVFADC training recipe
+    (Jégou et al. §IV: coarse quantizer, then PQ trained on RESIDUALS
+    x − q₁(x), which are far more codable than raw vectors).  One local
+    Lloyd for the coarse level, one per subspace for the residual level,
+    all deterministic; centroids round to 6 dp (the int64 assignment
+    contract), residual codebooks round inside ``pq_train_local``.  Shared
+    verbatim by the engine and the oracle generator."""
+    from .embed import kmeans_fit
+
+    centroids = np.round(kmeans_fit(sample, n_clusters, seed=seed), 6)
+    assign = _assign_int(_int_scale(sample), _int_scale(centroids))
+    resid = sample - centroids[assign]
+    books = pq_train_local(resid, m_subspaces=m_subspaces, ksub=ksub,
+                           n_iter=n_iter, seed=seed)
+    return centroids, books
+
+
+def ivfadc_train(ds: ray.data.Dataset, *, n_clusters: int = 16,
+                 m_subspaces: int = 8, ksub: int = 16, n_iter: int = 10,
+                 seed: int = 42, vec_col: str = "embedding",
+                 id_col: str = "vec_id",
+                 approx_count: int | None = None
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """``ivfadc_train_local`` over the deterministic id-hash sample (the
+    pq_train / FAISS sample-training discipline)."""
+    sample = train_quantizer_sample(ds, target=4096, vec_col=vec_col,
+                                    id_col=id_col, seed=7,
+                                    approx_count=approx_count)
+    return ivfadc_train_local(sample, n_clusters=n_clusters,
+                              m_subspaces=m_subspaces, ksub=ksub,
+                              n_iter=n_iter, seed=seed)
+
+
+def _residual_luts(query: np.ndarray, centroids: np.ndarray,
+                   cb_int: np.ndarray,
+                   probe: np.ndarray) -> dict[int, np.ndarray]:
+    """One integer (M, ksub) ADC lookup table per PROBED cluster, built from
+    the query's residual against that cluster's centroid.  Residuals are
+    float64 subtractions of repr-exact doubles, THEN int-scaled — the same
+    op order the encode side uses, so LUT entries and code distances live in
+    one exact-int64 algebra."""
+    m_sub, ksub, dsub = cb_int.shape
+    luts = {}
+    for cid in probe.tolist():
+        r_int = _int_scale(query - centroids[cid])
+        diff = r_int.reshape(m_sub, 1, dsub) - cb_int
+        luts[int(cid)] = (diff * diff).sum(axis=2)
+    return luts
+
+
+def ivfadc_topk(ds: ray.data.Dataset, query: np.ndarray,
+                centroids: np.ndarray, codebooks: np.ndarray, *,
+                k: int = 10, n_probe: int = 4,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> pa.Table:
+    """IVFADC top-k — the full FAISS-style compressed serving index
+    (inverted file + asymmetric distance over residual PQ codes): the query
+    probes its ``n_probe`` nearest coarse cells (exact int64, ties → lowest
+    id); every batch assigns its vectors, keeps only probed-cell residents,
+    PQ-encodes their RESIDUALS and sums M per-cell LUT entries per vector
+    (at steady state the (cell, code) pair is a stored 9-byte column and
+    this stage never touches floats); combine-safe local top-k partials
+    stream to a tiny driver merge.
+
+    CONTRACT (and the generated SQL twin's): "exact ADC within the probed
+    cells" — the oracle re-derives centroids, probe list, residual codes and
+    LUT sums from inlined integer constants, bit-identically; true recall vs
+    the uncompressed top-k is a pytest concern, governed by ``n_probe`` and
+    restored by exact re-rank exactly as in ``pq_adc_rerank_topk``.
+    Returns (vec_id, adc_dist, rank)."""
+    import ray as _ray
+
+    cent_int = _int_scale(centroids)
+    cb_int = _codebooks_int(codebooks)
+    m_sub = cb_int.shape[0]
+    q_int = _int_scale(query)
+    qd2 = ((q_int[None, :] - cent_int) ** 2).sum(axis=1)
+    probe = np.lexsort((np.arange(len(cent_int)), qd2))[:n_probe] \
+        .astype(np.int64)
+    probe_set = set(probe.tolist())
+    luts = _residual_luts(query, centroids, cb_int, probe)
+    state_ref = _ray.put((cent_int, cb_int, centroids, luts))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        cent_i, cb_i, cents, lut_map = _ray.get(state_ref)
+        m = _to_matrix(batch.column(vec_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+                   .astype(np.int64)
+        assign = _assign_int(_int_scale(m), cent_i)
+        keep = np.isin(assign, probe)
+        if not keep.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "adc_int": pa.array([], pa.int64())})
+        m, ids, assign = m[keep], ids[keep], assign[keep]
+        adc = np.empty(len(ids), np.int64)
+        for cid in np.unique(assign):        # ≤ n_probe iterations
+            sel = assign == cid
+            codes = _encode_matrix(m[sel] - cents[cid][None, :], cb_i)
+            adc[sel] = lut_map[int(cid)][
+                np.arange(m_sub)[None, :], codes.astype(np.int64)].sum(axis=1)
+        order = np.lexsort((ids, adc))[:k]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "adc_int": pa.array(adc[order], pa.int64())})
+
+    parts = [b for b in ds.map_batches(local_topk, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    if parts:
+        allp = pa.concat_tables(parts)
+        ids = allp.column(id_col).to_numpy(zero_copy_only=False)
+        adc = allp.column("adc_int").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, adc))[:k]
+        ids, adc = ids[order], adc[order]
+    else:
+        ids = np.empty(0, np.int64)
+        adc = np.empty(0, np.int64)
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "adc_dist": pa.array(adc.astype(np.float64) / float(_SCALE) ** 2,
+                             pa.float64()),
+        "rank": pa.array(np.arange(1, len(ids) + 1, dtype=np.int64))})
+
+
+def ivfadc_oracle_sql(centroids: np.ndarray, codebooks: np.ndarray,
+                      query: np.ndarray, *, k: int = 10,
+                      n_probe: int = 4) -> str:
+    """Generated DuckDB twin of ``ivfadc_topk``: coarse assignment by exact
+    int64 argmin over inlined int-scaled centroids, residuals against
+    repr-exact double centroids (identical IEEE subtract/scale/floor), PQ
+    assignment by exact int64 argmin over the inlined residual codebooks,
+    ADC from one inlined integer LUT per probed cell."""
+    cent_int = _int_scale(centroids)
+    cb_int = _codebooks_int(codebooks)
+    m_sub, ksub, dsub = cb_int.shape
+    n_clusters, dim = centroids.shape
+    q_int = _int_scale(query)
+    qd2 = ((q_int[None, :] - cent_int) ** 2).sum(axis=1)
+    probe = np.lexsort((np.arange(n_clusters), qd2))[:n_probe]
+    luts = _residual_luts(query, centroids, cb_int, probe.astype(np.int64))
+    cent_i_rows = ",".join(
+        f"({c},{d},{int(cent_int[c, d])})"
+        for c in range(n_clusters) for d in range(dim))
+    cent_f_rows = ",".join(
+        f"({c},{d},{repr(float(centroids[c, d]))})"
+        for c in range(n_clusters) for d in range(dim))
+    cb_rows = ",".join(
+        f"({m},{cw},{d},{int(cb_int[m, cw, d])})"
+        for m in range(m_sub) for cw in range(ksub) for d in range(dsub))
+    lut_rows = ",".join(
+        f"({cid},{m},{cw},{int(luts[int(cid)][m, cw])})"
+        for cid in probe for m in range(m_sub) for cw in range(ksub))
+    probed = ",".join(f"({int(c)})" for c in probe)
+    return f"""
+        WITH cent_i(cid, d, v_int) AS (VALUES {cent_i_rows}),
+        cent_f(cid, d, c_val) AS (VALUES {cent_f_rows}),
+        cb(m, cw, d, c_int) AS (VALUES {cb_rows}),
+        luts(cid, m, cw, l_int) AS (VALUES {lut_rows}),
+        probed(cid) AS (VALUES {probed}),
+        coords AS (SELECT vec_id,
+                          generate_subscripts(v, 1) - 1 AS idx,
+                          unnest(v) AS x
+                   FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                         FROM embeddings)),
+        vassign AS (SELECT vec_id, cid FROM (
+            SELECT c.vec_id, ci.cid,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY sum((CAST(floor(c.x * {_SCALE} + 0.5)
+                                          AS BIGINT) - ci.v_int)
+                                    * (CAST(floor(c.x * {_SCALE} + 0.5)
+                                            AS BIGINT) - ci.v_int)),
+                                ci.cid) AS rn
+            FROM coords c JOIN cent_i ci ON ci.d = c.idx
+            GROUP BY c.vec_id, ci.cid) WHERE rn = 1),
+        resid AS (SELECT c.vec_id, a.cid, c.idx,
+                         CAST(floor((c.x - f.c_val) * {_SCALE} + 0.5)
+                              AS BIGINT) AS r_int
+                  FROM coords c
+                  JOIN vassign a ON a.vec_id = c.vec_id
+                  JOIN cent_f f ON f.cid = a.cid AND f.d = c.idx
+                  WHERE a.cid IN (SELECT cid FROM probed)),
+        pq_assign AS (SELECT vec_id, cid, m, cw FROM (
+            SELECT r.vec_id, r.cid, cb.m, cb.cw,
+                   row_number() OVER (
+                       PARTITION BY r.vec_id, cb.m
+                       ORDER BY sum((r.r_int - cb.c_int)
+                                    * (r.r_int - cb.c_int)), cb.cw) AS rn
+            FROM resid r
+            JOIN cb ON cb.m = r.idx // {dsub} AND cb.d = r.idx % {dsub}
+            GROUP BY r.vec_id, r.cid, cb.m, cb.cw) WHERE rn = 1),
+        adc AS (SELECT p.vec_id, sum(l.l_int) AS adc_int
+                FROM pq_assign p
+                JOIN luts l ON l.cid = p.cid AND l.m = p.m AND l.cw = p.cw
+                GROUP BY p.vec_id)
+        SELECT vec_id,
+               CAST(adc_int AS DOUBLE) / {float(_SCALE) ** 2:.1f} AS adc_dist,
+               CAST(row_number() OVER (ORDER BY adc_int, vec_id) AS BIGINT)
+                   AS rank
+        FROM adc
+        ORDER BY adc_int, vec_id
+        LIMIT {k}"""

@@ -443,6 +443,49 @@ class TestProductQuantization:
         assert np.array_equal(_binary_to_codes(legacy), codes)
         assert _binary_to_codes(pa.chunked_array([col, col])).shape == (514, 8)
 
+    def test_ivfadc_topk_layout_invariant_and_local_recompute(self):
+        """IVFADC (coarse probe + residual-PQ ADC): layout-invariant,
+        rank/order contract holds, and the distributed result equals a
+        straight local recompute of the same exact-int64 algebra.  Recall:
+        the probed cells must contain the query's own cell (vec_id=0 ranks)."""
+        from post_ocr_corrector_ray.stages.pq import (
+            _assign_int, _codebooks_int, _encode_matrix, _int_scale,
+            _residual_luts, ivfadc_topk, ivfadc_train)
+
+        ds, _, ids, mat = self._setup()
+        q = mat[ids == 0][0]
+        cents, books = ivfadc_train(ds, approx_count=len(ids))
+        assert cents.shape[0] == 16 and books.shape == (8, 16, 8)
+        k, n_probe = 10, 4
+        a = ivfadc_topk(ds, q, cents, books, k=k, n_probe=n_probe).to_pandas()
+        b = ivfadc_topk(ds.repartition(9), q, cents, books,
+                        k=k, n_probe=n_probe).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+        assert a["rank"].tolist() == list(range(1, len(a) + 1))
+        assert (a["adc_dist"].diff().dropna() >= 0).all()
+        assert 0 in set(a["vec_id"])  # query's own cell is always probed
+        # local recompute of the full pipeline
+        cent_int = _int_scale(cents)
+        cb_int = _codebooks_int(books)
+        q_int = _int_scale(q)
+        qd2 = ((q_int[None, :] - cent_int) ** 2).sum(axis=1)
+        probe = np.lexsort((np.arange(len(cent_int)), qd2))[:n_probe]
+        luts = _residual_luts(q, cents, cb_int, probe.astype(np.int64))
+        assign = _assign_int(_int_scale(mat), cent_int)
+        keep = np.isin(assign, probe)
+        adc = np.empty(keep.sum(), np.int64)
+        kids = ids[keep]
+        for ci in np.unique(assign[keep]):
+            sel = assign[keep] == ci
+            codes = _encode_matrix(mat[keep][sel] - cents[ci][None, :],
+                                   cb_int)
+            adc[sel] = luts[int(ci)][np.arange(8)[None, :],
+                                     codes.astype(np.int64)].sum(axis=1)
+        order = np.lexsort((kids, adc))[:k]
+        assert a["vec_id"].tolist() == kids[order].tolist()
+        np.testing.assert_allclose(a["adc_dist"].to_numpy(),
+                                   adc[order] / 1e12, rtol=0, atol=0)
+
     def test_adc_topk_layout_invariant_and_recall(self):
         from post_ocr_corrector_ray.stages.pq import pq_adc_topk
 
