@@ -313,7 +313,9 @@ _WINDOW_CANARIES = (
 
 # Oracle-backed queries ADDED in round 5 — placed right after the canaries so
 # this round's riskiest new code gets a driver CORRECTNESS row immediately.
-_R5_NEW_PRIORITY: tuple = ("emb_pq_codes_incremental", "emb_ivfadc_topk")
+_R5_NEW_PRIORITY: tuple = ("emb_pq_codes_incremental", "emb_ivfadc_topk",
+                           "emb_ivfadc_topk_rerank",
+                           "emb_ivfadc_index_topk")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -445,6 +447,14 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # IVFADC: inverted-file probe + ADC over residual PQ codes — the
         # full FAISS-style compressed serving index (generated SQL twin)
         "emb_ivfadc_topk": lambda sf: E.emb_ivfadc_topk(sf),
+        # IVFADC + exact re-rank: the complete compressed serving stack
+        # (probe -> residual-ADC candidates -> exact int64 L2 re-rank)
+        "emb_ivfadc_topk_rerank":
+            lambda sf: E.emb_ivfadc_topk_rerank(sf),
+        # serve the same query from the MATERIALIZED (cell, code) index
+        # — pass 1 never reads a raw vector; bit-identical contract
+        "emb_ivfadc_index_topk":
+            lambda sf: E.emb_ivfadc_index_topk(sf),
         # fixed-round k-core peel (iterative degree filter, unrolled oracle)
         "emb_kcore": lambda sf: E.emb_kcore(sf),
         # 100-TB twin: same peel over the bucketed k-NN graph
@@ -2437,11 +2447,16 @@ def oracle_sql() -> dict[str, str]:
         out["emb_pq_codes_incremental"] = pq_codes_oracle_sql(
             _oracle_pq_books(max_id=_split), where=f"vec_id >= {_split}")
         from post_ocr_corrector_ray.stages.pq import (
-            ivfadc_oracle_sql, ivfadc_train_local)
+            ivfadc_oracle_sql, ivfadc_rerank_oracle_sql, ivfadc_train_local)
 
         _cents, _rbooks = ivfadc_train_local(_oracle_pq_sample())
         out["emb_ivfadc_topk"] = ivfadc_oracle_sql(
             _cents, _rbooks, _pq_query, k=10, n_probe=4)
+        out["emb_ivfadc_topk_rerank"] = ivfadc_rerank_oracle_sql(
+            _cents, _rbooks, _pq_query, k=10, n_probe=4, rerank=200)
+        # the from-index serving path is bit-identical to the scan path
+        # by construction — same SQL twin
+        out["emb_ivfadc_index_topk"] = out["emb_ivfadc_topk"]
     if os.path.exists(f"{_ORACLE_SF_DIR}/documents.parquet"):
         out["doc_mix_materialize"] = _mix_oracle_sql()
     return out

@@ -153,6 +153,7 @@ def run_benchmarks() -> dict:
         "events_value_quantiles_sketch_by_type",
         "emb_pq_topk", "emb_pq_topk_rerank", "emb_pq_codes",
         "emb_pq_codes_incremental", "emb_ivfadc_topk",
+        "emb_ivfadc_topk_rerank", "emb_ivfadc_index_topk",
         "flagship_dictionary_joined",
     ]
     # Each query is timed as the best of two consecutive runs: the first

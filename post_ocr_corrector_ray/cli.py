@@ -143,6 +143,23 @@ def main(argv: list[str] | None = None) -> int:
                         "inherits a copy of the codebooks so it can serve "
                         "as --against for the next wave")
 
+    s = sub.add_parser("ivf-index",
+                       help="embeddings parquet → IVFADC index rows "
+                            "(vec_id, cell, pq_code) in a resumable "
+                            "committed store; coarse centroids + residual "
+                            "codebooks train on the FIRST wave and freeze "
+                            "(--against reuses an existing store's frozen "
+                            "quantizers verbatim — byte-identical rows)")
+    s.add_argument("embeddings"); s.add_argument("out_dir")
+    s.add_argument("--id-col", default="vec_id")
+    s.add_argument("--vec-col", default="embedding")
+    s.add_argument("--partitions", type=int, default=16)
+    s.add_argument("--against", default=None, metavar="STORE_DIR",
+                   help="append-only ingest: encode this wave with the "
+                        "FROZEN quantizers of an existing ivf-index store; "
+                        "OUT_DIR inherits a copy so it can serve as "
+                        "--against for the next wave")
+
     args = p.parse_args(argv)
 
     if args.cmd == "convert-ckpt":
@@ -395,6 +412,38 @@ def main(argv: list[str] | None = None) -> int:
                 "rows": int(summary["n_rows"].sum()) if len(summary) else 0,
                 "trained_codebooks": bool(trained),
                 "m_subspaces": args.m, "ksub": args.ksub}))
+        elif args.cmd == "ivf-index":
+            import pyarrow.parquet as _pq
+
+            from .stages.pq import (ivfadc_index_incremental,
+                                    ivfadc_store_exists, ivfadc_store_load,
+                                    ivfadc_store_save)
+            from .state.lineage import commit_by_key, fingerprint_inputs
+
+            vecs = ray.data.read_parquet(args.embeddings,
+                                         columns=[args.id_col, args.vec_col])
+            n = _pq.ParquetFile(args.embeddings).metadata.num_rows
+            if args.against:
+                if not ivfadc_store_exists(args.against):
+                    raise SystemExit(f"ivf-index: no frozen quantizer store "
+                                     f"under {args.against}")
+                if not ivfadc_store_exists(args.out_dir):
+                    ivfadc_store_save(*ivfadc_store_load(args.against),
+                                      args.out_dir,
+                                      meta={"inherited_from": args.against})
+            index, _c, _b, trained = ivfadc_index_incremental(
+                vecs, args.out_dir, vec_col=args.vec_col,
+                id_col=args.id_col, approx_count=n)
+            summary = commit_by_key(
+                index, os.path.join(args.out_dir, "index"),
+                key_col=args.id_col, num_partitions=args.partitions,
+                input_fingerprint=fingerprint_inputs(args.embeddings),
+                stage_versions={"ivfadc": "c16-m8-k16-v1"}) \
+                .to_pandas()
+            print(json.dumps({
+                "partitions_committed": len(summary),
+                "rows": int(summary["n_rows"].sum()) if len(summary) else 0,
+                "trained_quantizers": bool(trained)}))
         elif args.cmd == "feed":
             from .pipelines.training import epoch_feed
 

@@ -199,6 +199,35 @@ def emb_ivfadc_topk(sf_dir: str, k: int = 10, n_probe: int = 4) -> pa.Table:
                        k=k, n_probe=n_probe)
 
 
+def emb_ivfadc_index_topk(sf_dir: str, k: int = 10,
+                          n_probe: int = 4) -> pa.Table:
+    """Serve the IVFADC query from the MATERIALIZED index
+    (stages/pq.py::ivfadc_index_build → ivfadc_topk_from_index): pass 1
+    reads only the stored (cell, 8-byte code) columns, never a raw vector —
+    the steady-state 100-TB serving economics made concrete.  Bit-identical
+    to ``emb_ivfadc_topk`` by construction, so it shares that query's
+    generated SQL twin verbatim."""
+    from ..stages.pq import ivfadc_index_build, ivfadc_topk_from_index
+
+    cents, books = _ivfadc_constants(sf_dir)
+    index = ivfadc_index_build(_emb(sf_dir), cents, books)
+    return ivfadc_topk_from_index(index, _query_vector(sf_dir, 0), cents,
+                                  books, k=k, n_probe=n_probe)
+
+
+def emb_ivfadc_topk_rerank(sf_dir: str, k: int = 10, n_probe: int = 4,
+                           rerank: int = 200) -> pa.Table:
+    """IVFADC + exact re-rank (stages/pq.py::ivfadc_rerank_topk) — the
+    complete compressed serving architecture: probe → residual-ADC candidate
+    scan → exact int64 L2 over ≤``rerank`` raw fetches.  Shares one training
+    pass with ``emb_ivfadc_topk`` via the memoized constants."""
+    from ..stages.pq import ivfadc_rerank_topk
+
+    cents, books = _ivfadc_constants(sf_dir)
+    return ivfadc_rerank_topk(_emb(sf_dir), _query_vector(sf_dir, 0), cents,
+                              books, k=k, n_probe=n_probe, rerank=rerank)
+
+
 def pq_wave_split(sf_dir: str) -> int:
     """The two-wave append-only boundary: vec_id < split is wave 1 (trains +
     freezes the codebooks), vec_id >= split is the ingest wave.  Shared by

@@ -298,11 +298,20 @@ def pq_adc_rerank_topk(ds: ray.data.Dataset, query: np.ndarray,
     (distance concentration — PQ's worst case); rerank=200 restores 0.9-1.0
     (pytest-pinned).  Exact-int64 distances both passes → the generated SQL
     twin is bit-identical.  Returns (vec_id, l2_dist, rank)."""
-    import ray as _ray
-
     cand = pq_adc_topk(ds, query, codebooks, k=rerank,
                        vec_col=vec_col, id_col=id_col)
-    cand_ids = cand.column(id_col)
+    return _exact_rerank(ds, cand.column(id_col), query, k=k,
+                         vec_col=vec_col, id_col=id_col)
+
+
+def _exact_rerank(ds: ray.data.Dataset, cand_ids, query: np.ndarray, *,
+                  k: int, vec_col: str, id_col: str) -> pa.Table:
+    """Pass 2 of every compressed-index serving path (flat ADC or IVFADC):
+    broadcast the ≤``rerank`` candidate id set once, fetch only those raw
+    vectors, re-rank by exact int64 squared L2 with per-batch top-k partials
+    and a tiny driver merge.  Returns (vec_id, l2_dist, rank)."""
+    import ray as _ray
+
     ids_ref = _ray.put(cand_ids)
     q_int = _int_scale(query)
 
@@ -544,9 +553,10 @@ def ivfadc_topk(ds: ray.data.Dataset, query: np.ndarray,
     probes its ``n_probe`` nearest coarse cells (exact int64, ties → lowest
     id); every batch assigns its vectors, keeps only probed-cell residents,
     PQ-encodes their RESIDUALS and sums M per-cell LUT entries per vector
-    (at steady state the (cell, code) pair is a stored 9-byte column and
-    this stage never touches floats); combine-safe local top-k partials
-    stream to a tiny driver merge.
+    (the steady-state variant that reads ONLY the stored 9-byte
+    (cell, code) column and never touches floats is
+    ``ivfadc_topk_from_index``, bit-identical by construction); combine-safe
+    local top-k partials stream to a tiny driver merge.
 
     CONTRACT (and the generated SQL twin's): "exact ADC within the probed
     cells" — the oracle re-derives centroids, probe list, residual codes and
@@ -563,7 +573,6 @@ def ivfadc_topk(ds: ray.data.Dataset, query: np.ndarray,
     qd2 = ((q_int[None, :] - cent_int) ** 2).sum(axis=1)
     probe = np.lexsort((np.arange(len(cent_int)), qd2))[:n_probe] \
         .astype(np.int64)
-    probe_set = set(probe.tolist())
     luts = _residual_luts(query, centroids, cb_int, probe)
     state_ref = _ray.put((cent_int, cb_int, centroids, luts))
 
@@ -606,14 +615,209 @@ def ivfadc_topk(ds: ray.data.Dataset, query: np.ndarray,
         "rank": pa.array(np.arange(1, len(ids) + 1, dtype=np.int64))})
 
 
-def ivfadc_oracle_sql(centroids: np.ndarray, codebooks: np.ndarray,
-                      query: np.ndarray, *, k: int = 10,
-                      n_probe: int = 4) -> str:
-    """Generated DuckDB twin of ``ivfadc_topk``: coarse assignment by exact
-    int64 argmin over inlined int-scaled centroids, residuals against
-    repr-exact double centroids (identical IEEE subtract/scale/floor), PQ
-    assignment by exact int64 argmin over the inlined residual codebooks,
-    ADC from one inlined integer LUT per probed cell."""
+def ivfadc_index_build(ds: ray.data.Dataset, centroids: np.ndarray,
+                       codebooks: np.ndarray, *,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> ray.data.Dataset:
+    """Materialize the steady-state IVFADC index: one scan assigns each
+    vector to its coarse cell (exact int64 argmin, ties → lowest id) and
+    PQ-encodes its RESIDUAL, emitting ``(vec_id, cell, pq_code)`` — 1 B cell
+    + M B code per vector (9 B at the defaults), the column a 100-TB serving
+    tier stores INSTEAD of raw floats.  Codes are deterministic in
+    (centroids, codebooks), so serving from this index is bit-identical to
+    the scan-side ``ivfadc_topk`` (pytest-pinned).  Write with
+    ``write_parquet`` partitioned by cell range for probe-side pruning."""
+    import ray as _ray
+
+    state_ref = _ray.put((_int_scale(centroids), _codebooks_int(codebooks),
+                          centroids))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cent_i, cb_i, cents = _ray.get(state_ref)
+        m = _to_matrix(batch.column(vec_col))
+        assign = _assign_int(_int_scale(m), cent_i)
+        codes = np.empty((len(assign), cb_i.shape[0]), np.uint8)
+        for cid in np.unique(assign):
+            sel = assign == cid
+            codes[sel] = _encode_matrix(m[sel] - cents[cid][None, :], cb_i)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cell": pa.array(assign, pa.int64()),
+            "pq_code": _codes_to_binary(codes)})
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def ivfadc_topk_from_index(index_ds: ray.data.Dataset, query: np.ndarray,
+                           centroids: np.ndarray, codebooks: np.ndarray, *,
+                           k: int = 10, n_probe: int = 4,
+                           id_col: str = "vec_id") -> pa.Table:
+    """Serve an IVFADC query from the STORED index (``ivfadc_index_build``
+    output) — pass 1 touches no raw vectors at all: filter rows whose
+    ``cell`` is probed (an Arrow predicate a cell-partitioned parquet layout
+    turns into partition pruning), decode the fixed-size binary codes with
+    one ``np.frombuffer``, sum M LUT entries per row, stream combine-safe
+    local top-k partials to a tiny driver merge.  Bit-identical to
+    ``ivfadc_topk`` on the same (centroids, codebooks) by construction.
+    Returns (vec_id, adc_dist, rank)."""
+    import ray as _ray
+
+    cent_int = _int_scale(centroids)
+    cb_int = _codebooks_int(codebooks)
+    m_sub = cb_int.shape[0]
+    q_int = _int_scale(query)
+    qd2 = ((q_int[None, :] - cent_int) ** 2).sum(axis=1)
+    probe = np.lexsort((np.arange(len(cent_int)), qd2))[:n_probe] \
+        .astype(np.int64)
+    luts = _residual_luts(query, centroids, cb_int, probe)
+    lut_ref = _ray.put(luts)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lut_map = _ray.get(lut_ref)
+        keep = pc.is_in(batch.column("cell"),
+                        value_set=pa.array(probe, pa.int64()))
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "adc_int": pa.array([], pa.int64())})
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+                   .astype(np.int64)
+        cells = batch.column("cell").to_numpy(zero_copy_only=False) \
+                     .astype(np.int64)
+        codes = _binary_to_codes(batch.column("pq_code")).astype(np.int64)
+        adc = np.empty(len(ids), np.int64)
+        for cid in np.unique(cells):         # ≤ n_probe iterations
+            sel = cells == cid
+            adc[sel] = lut_map[int(cid)][
+                np.arange(m_sub)[None, :], codes[sel]].sum(axis=1)
+        order = np.lexsort((ids, adc))[:k]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "adc_int": pa.array(adc[order], pa.int64())})
+
+    parts = [b for b in
+             index_ds.map_batches(local_topk, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    if parts:
+        allp = pa.concat_tables(parts)
+        ids = allp.column(id_col).to_numpy(zero_copy_only=False)
+        adc = allp.column("adc_int").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, adc))[:k]
+        ids, adc = ids[order], adc[order]
+    else:
+        ids = np.empty(0, np.int64)
+        adc = np.empty(0, np.int64)
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "adc_dist": pa.array(adc.astype(np.float64) / float(_SCALE) ** 2,
+                             pa.float64()),
+        "rank": pa.array(np.arange(1, len(ids) + 1, dtype=np.int64))})
+
+
+def ivfadc_store_save(centroids: np.ndarray, codebooks: np.ndarray,
+                      store_dir: str, *, meta: dict | None = None) -> None:
+    """Freeze a trained IVFADC quantizer (coarse centroids + residual
+    codebooks) as a committed artifact: ``pq_store_save``'s codebook layout
+    plus ``centroids.parquet`` (cid, d, value), both atomic."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    n_clusters, dim = centroids.shape
+    pq_store_save(codebooks, store_dir,
+                  meta={"n_clusters": int(n_clusters), "dim": int(dim),
+                        "kind": "ivfadc", **(meta or {})})
+    t = pa.table({
+        "cid": pa.array(np.repeat(np.arange(n_clusters, dtype=np.int64),
+                                  dim)),
+        "d": pa.array(np.tile(np.arange(dim, dtype=np.int64), n_clusters)),
+        "value": pa.array(centroids.reshape(-1).astype(np.float64)),
+    })
+    tmp = os.path.join(store_dir, "centroids.parquet.tmp")
+    _pq.write_table(t, tmp)
+    os.replace(tmp, os.path.join(store_dir, "centroids.parquet"))
+
+
+def ivfadc_store_load(store_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Exact float64 round-trip of ``ivfadc_store_save`` →
+    (centroids, codebooks)."""
+    import json
+    import os
+
+    import pyarrow.parquet as _pq
+
+    with open(os.path.join(store_dir, "meta.json"), encoding="utf-8") as f:
+        meta = json.load(f)
+    t = _pq.read_table(os.path.join(store_dir, "centroids.parquet"))
+    order = np.lexsort((t.column("d").to_numpy(),
+                        t.column("cid").to_numpy()))
+    cents = t.column("value").to_numpy(zero_copy_only=False)[order] \
+        .reshape(meta["n_clusters"], meta["dim"])
+    return cents, pq_store_load(store_dir)
+
+
+def ivfadc_store_exists(store_dir: str) -> bool:
+    import os
+
+    return (pq_store_exists(store_dir)
+            and os.path.exists(os.path.join(store_dir, "centroids.parquet")))
+
+
+def ivfadc_index_incremental(new_vecs: ray.data.Dataset, store_dir: str, *,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             approx_count: int | None = None
+                             ) -> tuple[ray.data.Dataset, np.ndarray,
+                                        np.ndarray, bool]:
+    """Append-only IVFADC ingest (the ``pq_encode_incremental`` discipline
+    over the full serving index): wave 1 trains coarse + residual quantizers
+    on its deterministic sample and freezes the store; wave 2+ loads the
+    FROZEN quantizers and only encodes — new (vec_id, cell, pq_code) rows
+    are byte-identical to what wave-1's quantizers produce (pytest-pinned),
+    so the stored index is append-only and queries never see a codebook
+    fork.  Returns (index_dataset, centroids, codebooks, trained)."""
+    if ivfadc_store_exists(store_dir):
+        cents, books = ivfadc_store_load(store_dir)
+        trained = False
+    else:
+        cents, books = ivfadc_train(new_vecs, vec_col=vec_col,
+                                    id_col=id_col,
+                                    approx_count=approx_count)
+        ivfadc_store_save(cents, books, store_dir)
+        trained = True
+    return ivfadc_index_build(new_vecs, cents, books, vec_col=vec_col,
+                              id_col=id_col), cents, books, trained
+
+
+def ivfadc_rerank_topk(ds: ray.data.Dataset, query: np.ndarray,
+                       centroids: np.ndarray, codebooks: np.ndarray, *,
+                       k: int = 10, n_probe: int = 4, rerank: int = 200,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> pa.Table:
+    """The complete FAISS serving architecture (IVFADC + exact re-rank):
+    pass 1 probes ``n_probe`` coarse cells and scans residual PQ codes
+    (``ivfadc_topk`` with k=``rerank``), pass 2 fetches only the ≤``rerank``
+    raw candidate vectors and re-ranks by exact int64 squared L2
+    (``_exact_rerank``, shared with the flat-ADC path).  Within the probed
+    cells this RESTORES exact search — pytest pins that the result equals
+    the brute-force top-k restricted to probed-cell residents — while the
+    quantization economics (8 B/vector scan + ≤``rerank`` raw fetches)
+    survive at 100 TB.  Returns (vec_id, l2_dist, rank)."""
+    cand = ivfadc_topk(ds, query, centroids, codebooks, k=rerank,
+                       n_probe=n_probe, vec_col=vec_col, id_col=id_col)
+    return _exact_rerank(ds, cand.column(id_col), query, k=k,
+                         vec_col=vec_col, id_col=id_col)
+
+
+def _ivfadc_adc_ctes(centroids: np.ndarray, codebooks: np.ndarray,
+                     query: np.ndarray, *, n_probe: int) -> str:
+    """The shared WITH-body of the IVFADC oracle twins, ending at the
+    ``adc(vec_id, adc_int)`` CTE: coarse assignment by exact int64 argmin
+    over inlined int-scaled centroids, residuals against repr-exact double
+    centroids (identical IEEE subtract/scale/floor), PQ assignment by exact
+    int64 argmin over the inlined residual codebooks, ADC from one inlined
+    integer LUT per probed cell."""
     cent_int = _int_scale(centroids)
     cb_int = _codebooks_int(codebooks)
     m_sub, ksub, dsub = cb_int.shape
@@ -635,8 +839,7 @@ def ivfadc_oracle_sql(centroids: np.ndarray, codebooks: np.ndarray,
         f"({cid},{m},{cw},{int(luts[int(cid)][m, cw])})"
         for cid in probe for m in range(m_sub) for cw in range(ksub))
     probed = ",".join(f"({int(c)})" for c in probe)
-    return f"""
-        WITH cent_i(cid, d, v_int) AS (VALUES {cent_i_rows}),
+    return f"""cent_i(cid, d, v_int) AS (VALUES {cent_i_rows}),
         cent_f(cid, d, c_val) AS (VALUES {cent_f_rows}),
         cb(m, cw, d, c_int) AS (VALUES {cb_rows}),
         luts(cid, m, cw, l_int) AS (VALUES {lut_rows}),
@@ -676,11 +879,54 @@ def ivfadc_oracle_sql(centroids: np.ndarray, codebooks: np.ndarray,
         adc AS (SELECT p.vec_id, sum(l.l_int) AS adc_int
                 FROM pq_assign p
                 JOIN luts l ON l.cid = p.cid AND l.m = p.m AND l.cw = p.cw
-                GROUP BY p.vec_id)
+                GROUP BY p.vec_id)"""
+
+
+def ivfadc_oracle_sql(centroids: np.ndarray, codebooks: np.ndarray,
+                      query: np.ndarray, *, k: int = 10,
+                      n_probe: int = 4) -> str:
+    """Generated DuckDB twin of ``ivfadc_topk`` (see ``_ivfadc_adc_ctes``
+    for the shared exact-int64 WITH-body)."""
+    body = _ivfadc_adc_ctes(centroids, codebooks, query, n_probe=n_probe)
+    return f"""
+        WITH {body}
         SELECT vec_id,
                CAST(adc_int AS DOUBLE) / {float(_SCALE) ** 2:.1f} AS adc_dist,
                CAST(row_number() OVER (ORDER BY adc_int, vec_id) AS BIGINT)
                    AS rank
         FROM adc
         ORDER BY adc_int, vec_id
+        LIMIT {k}"""
+
+
+def ivfadc_rerank_oracle_sql(centroids: np.ndarray, codebooks: np.ndarray,
+                             query: np.ndarray, *, k: int = 10,
+                             n_probe: int = 4, rerank: int = 200) -> str:
+    """Generated DuckDB twin of ``ivfadc_rerank_topk``: the shared IVFADC
+    WITH-body yields ADC candidates, the top-``rerank`` of them are
+    re-ranked by exact int64 squared L2 against the inlined integer query
+    (identical algebra to ``pq_rerank_oracle_sql``'s second pass)."""
+    body = _ivfadc_adc_ctes(centroids, codebooks, query, n_probe=n_probe)
+    q_int = _int_scale(query)
+    q_rows = ",".join(f"({d},{int(q_int[d])})" for d in range(len(q_int)))
+    return f"""
+        WITH {body},
+        qv(idx, q_int) AS (VALUES {q_rows}),
+        cand AS (SELECT vec_id FROM adc
+                 ORDER BY adc_int, vec_id LIMIT {rerank}),
+        exact AS (SELECT c.vec_id,
+                         sum((CAST(floor(c.x * {_SCALE} + 0.5) AS BIGINT)
+                              - qv.q_int)
+                             * (CAST(floor(c.x * {_SCALE} + 0.5) AS BIGINT)
+                                - qv.q_int)) AS d2_int
+                  FROM coords c
+                  JOIN qv ON qv.idx = c.idx
+                  WHERE c.vec_id IN (SELECT vec_id FROM cand)
+                  GROUP BY c.vec_id)
+        SELECT vec_id,
+               CAST(d2_int AS DOUBLE) / {float(_SCALE) ** 2:.1f} AS l2_dist,
+               CAST(row_number() OVER (ORDER BY d2_int, vec_id) AS BIGINT)
+                   AS rank
+        FROM exact
+        ORDER BY d2_int, vec_id
         LIMIT {k}"""

@@ -486,6 +486,99 @@ class TestProductQuantization:
         np.testing.assert_allclose(a["adc_dist"].to_numpy(),
                                    adc[order] / 1e12, rtol=0, atol=0)
 
+    def test_ivfadc_index_serving_and_incremental_store(self, tmp_path):
+        """The materialized (vec_id, cell, pq_code) index serves bit-identical
+        results to the scan-side ivfadc_topk — including after a parquet
+        round-trip (the stored-index contract) — and the append-only store
+        freezes quantizers so a second wave's rows are byte-identical to
+        encoding it with wave-1's quantizers."""
+        import ray.data
+
+        from post_ocr_corrector_ray.stages.pq import (
+            ivfadc_index_build, ivfadc_index_incremental, ivfadc_store_load,
+            ivfadc_topk, ivfadc_topk_from_index, ivfadc_train)
+
+        ds, _, ids, mat = self._setup()
+        q = mat[ids == 0][0]
+        cents, books = ivfadc_train(ds, approx_count=len(ids))
+        index = ivfadc_index_build(ds, cents, books)
+        idx_dir = str(tmp_path / "ivf_index")
+        index.write_parquet(idx_dir)
+        stored = ray.data.read_parquet(idx_dir)
+        want = ivfadc_topk(ds, q, cents, books, k=10, n_probe=4).to_pandas()
+        for src in (index, stored, stored.repartition(7)):
+            got = ivfadc_topk_from_index(src, q, cents, books,
+                                         k=10, n_probe=4).to_pandas()
+            pd.testing.assert_frame_equal(got, want)
+        # two-wave append-only ingest against the frozen store
+        split = int(np.median(ids))
+        w1 = ds.filter(expr=f"vec_id < {split}")
+        w2 = ds.filter(expr=f"vec_id >= {split}")
+        store = str(tmp_path / "ivf_store")
+        idx1, c1, b1, trained1 = ivfadc_index_incremental(
+            w1, store, approx_count=int((ids < split).sum()))
+        idx2, c2, b2, trained2 = ivfadc_index_incremental(
+            w2, store, approx_count=int((ids >= split).sum()))
+        assert trained1 and not trained2
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(b1, b2)
+        sc, sb = ivfadc_store_load(store)
+        np.testing.assert_array_equal(sc, c1)   # exact float64 round-trip
+        np.testing.assert_array_equal(sb, b1)
+        direct = ivfadc_index_build(w2, c1, b1).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        wave2 = idx2.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(wave2, direct)
+        # the union of wave indexes serves exactly like a single-pass index
+        whole = ivfadc_topk_from_index(idx1.union(idx2), q, c1, b1,
+                                       k=10, n_probe=4).to_pandas()
+        single = ivfadc_topk_from_index(
+            ivfadc_index_build(ds, c1, b1), q, c1, b1,
+            k=10, n_probe=4).to_pandas()
+        pd.testing.assert_frame_equal(whole, single)
+
+    def test_ivfadc_rerank_exact_within_probed_cells(self):
+        """IVFADC + exact re-rank restores brute-force search restricted to
+        the probed cells: with rerank covering every probed resident the
+        result IS the exact top-k over that subset (the probed-subset oracle
+        contract), it is layout-invariant, and widening n_probe to all cells
+        recovers the GLOBAL exact top-k."""
+        from post_ocr_corrector_ray.stages.pq import (
+            _assign_int, _int_scale, ivfadc_rerank_topk, ivfadc_train)
+
+        ds, _, ids, mat = self._setup()
+        q = mat[ids == 0][0]
+        cents, books = ivfadc_train(ds, approx_count=len(ids))
+        k, n_probe = 10, 4
+        got = ivfadc_rerank_topk(ds, q, cents, books, k=k, n_probe=n_probe,
+                                 rerank=len(ids)).to_pandas()
+        got2 = ivfadc_rerank_topk(ds.repartition(9), q, cents, books, k=k,
+                                  n_probe=n_probe, rerank=len(ids)).to_pandas()
+        pd.testing.assert_frame_equal(got, got2)
+        # exact top-k over probed-cell residents, same int64 algebra
+        cent_int = _int_scale(cents)
+        q_int = _int_scale(q)
+        qd2 = ((q_int[None, :] - cent_int) ** 2).sum(axis=1)
+        probe = np.lexsort((np.arange(len(cent_int)), qd2))[:n_probe]
+        keep = np.isin(_assign_int(_int_scale(mat), cent_int), probe)
+        d2 = ((_int_scale(mat[keep]) - q_int[None, :]) ** 2).sum(axis=1)
+        order = np.lexsort((ids[keep], d2))[:k]
+        assert got["vec_id"].tolist() == ids[keep][order].tolist()
+        np.testing.assert_allclose(got["l2_dist"].to_numpy(),
+                                   d2[order] / 1e12, rtol=0, atol=0)
+        # all cells probed -> the global exact top-k
+        full = ivfadc_rerank_topk(ds, q, cents, books, k=k,
+                                  n_probe=len(cents),
+                                  rerank=len(ids)).to_pandas()
+        d2g = ((_int_scale(mat) - q_int[None, :]) ** 2).sum(axis=1)
+        og = np.lexsort((ids, d2g))[:k]
+        assert full["vec_id"].tolist() == ids[og].tolist()
+        # recall@k of the default serving config vs global exact search is
+        # reported (not asserted tight: synthetic near-random embeddings are
+        # PQ's distance-concentration worst case; n_probe governs it)
+        hits = len(set(got["vec_id"]) & set(ids[og]))
+        assert hits >= 1
+
     def test_adc_topk_layout_invariant_and_recall(self):
         from post_ocr_corrector_ray.stages.pq import pq_adc_topk
 
