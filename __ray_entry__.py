@@ -315,7 +315,9 @@ _WINDOW_CANARIES = (
 # this round's riskiest new code gets a driver CORRECTNESS row immediately.
 _R5_NEW_PRIORITY: tuple = ("emb_pq_codes_incremental", "emb_ivfadc_topk",
                            "emb_ivfadc_topk_rerank",
-                           "emb_ivfadc_index_topk")
+                           "emb_ivfadc_index_topk",
+                           "emb_ann_topk_filtered",
+                           "emb_ivfadc_topk_filtered")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -455,6 +457,14 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # — pass 1 never reads a raw vector; bit-identical contract
         "emb_ivfadc_index_topk":
             lambda sf: E.emb_ivfadc_index_topk(sf),
+        # FILTERED vector search, exact: metadata predicate pushed into the
+        # parquet read (row-group pruning), then broadcast-query top-k
+        "emb_ann_topk_filtered":
+            lambda sf: E.emb_ann_topk_filtered(sf),
+        # filtered search over the compressed index: label carried as an
+        # index column, predicate composed with the probed-cell filter
+        "emb_ivfadc_topk_filtered":
+            lambda sf: E.emb_ivfadc_topk_filtered(sf),
         # fixed-round k-core peel (iterative degree filter, unrolled oracle)
         "emb_kcore": lambda sf: E.emb_kcore(sf),
         # 100-TB twin: same peel over the bucketed k-NN graph
@@ -1480,6 +1490,15 @@ def oracle_sql() -> dict[str, str]:
                          (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
                           WHERE vec_id = 0)), 6) AS sim
             FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""",
+        # filtered vector search: same brute-force twin, predicate applied
+        # to the competing population (engine side: read-level pruning)
+        "emb_ann_topk_filtered": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                          WHERE vec_id = 0)), 6) AS sim
+            FROM embeddings WHERE label = 3
+            ORDER BY sim DESC, vec_id LIMIT 10""",
         "emb_ann_topk_lsh": _lsh_oracle_sql(),
         # added conditionally below: emb_ann_topk_ivf needs the sf0.01
         # fixture to derive centroid constants
@@ -2457,6 +2476,11 @@ def oracle_sql() -> dict[str, str]:
         # the from-index serving path is bit-identical to the scan path
         # by construction — same SQL twin
         out["emb_ivfadc_index_topk"] = out["emb_ivfadc_topk"]
+        # filtered compressed search: the metadata predicate restricts the
+        # competing population (assignment is per-vector, so pre-filter ==
+        # post-filter); n_probe widened to 8 as in the engine path
+        out["emb_ivfadc_topk_filtered"] = ivfadc_oracle_sql(
+            _cents, _rbooks, _pq_query, k=10, n_probe=8, where="label = 3")
     if os.path.exists(f"{_ORACLE_SF_DIR}/documents.parquet"):
         out["doc_mix_materialize"] = _mix_oracle_sql()
     return out

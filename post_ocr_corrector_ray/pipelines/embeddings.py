@@ -91,6 +91,43 @@ def emb_ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
     return ann_topk(_emb(sf_dir), _query_vector(sf_dir, 0), k=k)
 
 
+def emb_ann_topk_filtered(sf_dir: str, k: int = 10, label: int = 3) -> pa.Table:
+    """FILTERED exact vector search (the metadata-predicate serving shape,
+    FAISS IDSelector / vector-DB "filtered query"): only vectors whose
+    ``label`` matches compete for the top-k.  The predicate is pushed into
+    the parquet READ itself (pyarrow dataset filter → row-group pruning on a
+    label-sorted layout), so non-matching vectors never enter the object
+    store — then the standard broadcast-query exact top-k runs over the
+    survivors.  SQL twin: ``WHERE label = …`` on the brute-force oracle."""
+    import pyarrow.dataset as pds
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"],
+                               filter=pds.field("label") == label)
+    return ann_topk(ds, _query_vector(sf_dir, 0), k=k)
+
+
+def emb_ivfadc_topk_filtered(sf_dir: str, k: int = 10, n_probe: int = 8,
+                             label: int = 3) -> pa.Table:
+    """Filtered search over the COMPRESSED serving index: the label rides
+    the materialized index as a carried metadata column
+    (``ivfadc_index_build(carry_cols=…)``), and serving composes the
+    predicate with the probed-cell filter in one Arrow kernel — no join back
+    to raw vectors, no float reads in pass 1.  ``n_probe`` is widened (8 of
+    16 cells) because a ~10%-selective predicate thins each probed cell's
+    candidates; the quantizers stay population-trained (query-time
+    predicates must not fork the codebooks).  Contract = the SQL twin's:
+    exact ADC among probed-cell residents that satisfy the predicate."""
+    from ..stages.pq import ivfadc_index_build, ivfadc_topk_from_index
+
+    cents, books = _ivfadc_constants(sf_dir)
+    index = ivfadc_index_build(_emb(sf_dir), cents, books,
+                               carry_cols=("label",))
+    return ivfadc_topk_from_index(index, _query_vector(sf_dir, 0), cents,
+                                  books, k=k, n_probe=n_probe,
+                                  keep=("label", label))
+
+
 def emb_ann_topk_lsh(sf_dir: str, k: int = 10) -> pa.Table:
     return ann_topk_lsh(_emb(sf_dir), _query_vector(sf_dir, 0), k=k, bits=4)
 

@@ -618,12 +618,15 @@ def ivfadc_topk(ds: ray.data.Dataset, query: np.ndarray,
 def ivfadc_index_build(ds: ray.data.Dataset, centroids: np.ndarray,
                        codebooks: np.ndarray, *,
                        vec_col: str = "embedding",
-                       id_col: str = "vec_id") -> ray.data.Dataset:
+                       id_col: str = "vec_id",
+                       carry_cols: tuple[str, ...] = ()) -> ray.data.Dataset:
     """Materialize the steady-state IVFADC index: one scan assigns each
     vector to its coarse cell (exact int64 argmin, ties → lowest id) and
     PQ-encodes its RESIDUAL, emitting ``(vec_id, cell, pq_code)`` — 1 B cell
     + M B code per vector (9 B at the defaults), the column a 100-TB serving
-    tier stores INSTEAD of raw floats.  Codes are deterministic in
+    tier stores INSTEAD of raw floats.  ``carry_cols`` appends metadata
+    columns (e.g. a label) verbatim so filtered search never has to join
+    back to the raw table.  Codes are deterministic in
     (centroids, codebooks), so serving from this index is bit-identical to
     the scan-side ``ivfadc_topk`` (pytest-pinned).  Write with
     ``write_parquet`` partitioned by cell range for probe-side pruning."""
@@ -640,10 +643,13 @@ def ivfadc_index_build(ds: ray.data.Dataset, centroids: np.ndarray,
         for cid in np.unique(assign):
             sel = assign == cid
             codes[sel] = _encode_matrix(m[sel] - cents[cid][None, :], cb_i)
-        return pa.table({
+        cols = {
             id_col: batch.column(id_col),
             "cell": pa.array(assign, pa.int64()),
-            "pq_code": _codes_to_binary(codes)})
+            "pq_code": _codes_to_binary(codes)}
+        for c in carry_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
     return ds.map_batches(encode, batch_format="pyarrow")
 
@@ -651,7 +657,8 @@ def ivfadc_index_build(ds: ray.data.Dataset, centroids: np.ndarray,
 def ivfadc_topk_from_index(index_ds: ray.data.Dataset, query: np.ndarray,
                            centroids: np.ndarray, codebooks: np.ndarray, *,
                            k: int = 10, n_probe: int = 4,
-                           id_col: str = "vec_id") -> pa.Table:
+                           id_col: str = "vec_id",
+                           keep: tuple[str, object] | None = None) -> pa.Table:
     """Serve an IVFADC query from the STORED index (``ivfadc_index_build``
     output) — pass 1 touches no raw vectors at all: filter rows whose
     ``cell`` is probed (an Arrow predicate a cell-partitioned parquet layout
@@ -659,6 +666,14 @@ def ivfadc_topk_from_index(index_ds: ray.data.Dataset, query: np.ndarray,
     one ``np.frombuffer``, sum M LUT entries per row, stream combine-safe
     local top-k partials to a tiny driver merge.  Bit-identical to
     ``ivfadc_topk`` on the same (centroids, codebooks) by construction.
+
+    ``keep=(col, value)`` is FILTERED vector search (the FAISS
+    IDSelector / metadata-predicate shape): only index rows whose carried
+    metadata column equals ``value`` compete.  The predicate composes with
+    the probed-cell filter as one Arrow kernel — at 100 TB both prune
+    row-groups before any LUT work; selective predicates should widen
+    ``n_probe`` to keep candidate counts up (recall is governed the same
+    way as unfiltered IVF, measured in pytest).
     Returns (vec_id, adc_dist, rank)."""
     import ray as _ray
 
@@ -676,9 +691,11 @@ def ivfadc_topk_from_index(index_ds: ray.data.Dataset, query: np.ndarray,
         import pyarrow.compute as pc
 
         lut_map = _ray.get(lut_ref)
-        keep = pc.is_in(batch.column("cell"),
+        mask = pc.is_in(batch.column("cell"),
                         value_set=pa.array(probe, pa.int64()))
-        batch = batch.filter(keep)
+        if keep is not None:
+            mask = pc.and_(mask, pc.equal(batch.column(keep[0]), keep[1]))
+        batch = batch.filter(mask)
         if batch.num_rows == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "adc_int": pa.array([], pa.int64())})
@@ -811,13 +828,16 @@ def ivfadc_rerank_topk(ds: ray.data.Dataset, query: np.ndarray,
 
 
 def _ivfadc_adc_ctes(centroids: np.ndarray, codebooks: np.ndarray,
-                     query: np.ndarray, *, n_probe: int) -> str:
+                     query: np.ndarray, *, n_probe: int,
+                     where: str | None = None) -> str:
     """The shared WITH-body of the IVFADC oracle twins, ending at the
     ``adc(vec_id, adc_int)`` CTE: coarse assignment by exact int64 argmin
     over inlined int-scaled centroids, residuals against repr-exact double
     centroids (identical IEEE subtract/scale/floor), PQ assignment by exact
     int64 argmin over the inlined residual codebooks, ADC from one inlined
-    integer LUT per probed cell."""
+    integer LUT per probed cell.  ``where`` restricts the competing
+    population (filtered search) — assignment is per-vector, so filtering
+    the population before assignment equals filtering results after."""
     cent_int = _int_scale(centroids)
     cb_int = _codebooks_int(codebooks)
     m_sub, ksub, dsub = cb_int.shape
@@ -848,7 +868,8 @@ def _ivfadc_adc_ctes(centroids: np.ndarray, codebooks: np.ndarray,
                           generate_subscripts(v, 1) - 1 AS idx,
                           unnest(v) AS x
                    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                         FROM embeddings)),
+                         FROM embeddings
+                         {f"WHERE {where}" if where else ""})),
         vassign AS (SELECT vec_id, cid FROM (
             SELECT c.vec_id, ci.cid,
                    row_number() OVER (
@@ -884,10 +905,13 @@ def _ivfadc_adc_ctes(centroids: np.ndarray, codebooks: np.ndarray,
 
 def ivfadc_oracle_sql(centroids: np.ndarray, codebooks: np.ndarray,
                       query: np.ndarray, *, k: int = 10,
-                      n_probe: int = 4) -> str:
+                      n_probe: int = 4, where: str | None = None) -> str:
     """Generated DuckDB twin of ``ivfadc_topk`` (see ``_ivfadc_adc_ctes``
-    for the shared exact-int64 WITH-body)."""
-    body = _ivfadc_adc_ctes(centroids, codebooks, query, n_probe=n_probe)
+    for the shared exact-int64 WITH-body).  ``where`` makes it the twin of
+    the FILTERED from-index serving path (``ivfadc_topk_from_index`` with
+    ``keep=``)."""
+    body = _ivfadc_adc_ctes(centroids, codebooks, query, n_probe=n_probe,
+                            where=where)
     return f"""
         WITH {body}
         SELECT vec_id,

@@ -537,6 +537,63 @@ class TestProductQuantization:
             k=10, n_probe=4).to_pandas()
         pd.testing.assert_frame_equal(whole, single)
 
+    def test_filtered_search_exact_and_compressed(self):
+        """Filtered vector search: (a) the exact path equals brute-force
+        cosine restricted to the predicate's population; (b) the compressed
+        path (label carried on the materialized index, predicate composed
+        with the probed-cell filter) equals scan-side IVFADC over the
+        pre-filtered dataset — the predicate only prunes the competing
+        population, it never perturbs codes or probe order; (c) both are
+        layout-invariant."""
+        import pyarrow.dataset as pds
+        import ray.data
+
+        from post_ocr_corrector_ray.stages.embed import ann_topk
+        from post_ocr_corrector_ray.stages.pq import (
+            ivfadc_index_build, ivfadc_topk, ivfadc_topk_from_index,
+            ivfadc_train)
+
+        ds, _, ids, mat = self._setup()
+        t = __import__("pyarrow.parquet", fromlist=["read_table"]) \
+            .read_table(f"{self.SF}/embeddings.parquet",
+                        columns=["vec_id", "label"])
+        labels = np.asarray(t.column("label").to_pylist(), dtype=np.int64)[
+            np.argsort(np.asarray(t.column("vec_id").to_pylist()))]
+        order_ids = np.sort(ids)
+        mat_sorted = mat[np.argsort(ids)]
+        q = mat[ids == 0][0]
+        lbl = 3
+        # (a) exact: read-level predicate == brute force over the subset
+        filt = ray.data.read_parquet(f"{self.SF}/embeddings.parquet",
+                                     columns=["vec_id", "embedding"],
+                                     filter=pds.field("label") == lbl)
+        got = ann_topk(filt, q, k=10).to_pandas()
+        sel = labels == lbl
+        m = mat_sorted[sel]
+        sims = np.round(
+            (m @ (q / np.linalg.norm(q)))
+            / np.where(np.linalg.norm(m, axis=1) == 0, 1.0,
+                       np.linalg.norm(m, axis=1)), 6)
+        want_order = np.lexsort((order_ids[sel], -sims))[:10]
+        assert got["vec_id"].tolist() == order_ids[sel][want_order].tolist()
+        np.testing.assert_array_equal(got["sim"].to_numpy(),
+                                      sims[want_order])
+        # (b) compressed: carried-label index filter == scan over prefilter
+        cents, books = ivfadc_train(ds, approx_count=len(ids))
+        index = ivfadc_index_build(ds, cents, books, carry_cols=("label",))
+        got_c = ivfadc_topk_from_index(index, q, cents, books, k=10,
+                                       n_probe=8,
+                                       keep=("label", lbl)).to_pandas()
+        want_c = ivfadc_topk(filt, q, cents, books, k=10,
+                             n_probe=8).to_pandas()
+        pd.testing.assert_frame_equal(got_c, want_c)
+        assert set(got_c["vec_id"]) <= set(order_ids[sel].tolist())
+        # (c) layout invariance of the compressed filtered path
+        got_r = ivfadc_topk_from_index(index.repartition(7), q, cents, books,
+                                       k=10, n_probe=8,
+                                       keep=("label", lbl)).to_pandas()
+        pd.testing.assert_frame_equal(got_r, got_c)
+
     def test_ivfadc_rerank_exact_within_probed_cells(self):
         """IVFADC + exact re-rank restores brute-force search restricted to
         the probed cells: with rerank covering every probed resident the
