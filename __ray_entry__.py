@@ -317,7 +317,8 @@ _R5_NEW_PRIORITY: tuple = ("emb_pq_codes_incremental", "emb_ivfadc_topk",
                            "emb_ivfadc_topk_rerank",
                            "emb_ivfadc_index_topk",
                            "emb_ann_topk_filtered",
-                           "emb_ivfadc_topk_filtered")
+                           "emb_ivfadc_topk_filtered",
+                           "emb_ann_topk_multi")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -461,6 +462,10 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # parquet read (row-group pruning), then broadcast-query top-k
         "emb_ann_topk_filtered":
             lambda sf: E.emb_ann_topk_filtered(sf),
+        # BATCHED exact search: one corpus scan serves Q queries (the
+        # serving-tier shape; corpus I/O amortizes across the batch)
+        "emb_ann_topk_multi":
+            lambda sf: E.emb_ann_topk_multi(sf),
         # filtered search over the compressed index: label carried as an
         # index column, predicate composed with the probed-cell filter
         "emb_ivfadc_topk_filtered":
@@ -1490,6 +1495,21 @@ def oracle_sql() -> dict[str, str]:
                          (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
                           WHERE vec_id = 0)), 6) AS sim
             FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""",
+        # batched search: per-query brute-force twin, partitioned top-k
+        "emb_ann_topk_multi": """
+            SELECT q.vec_id AS query_id, v.vec_id,
+                   round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                         CAST(q.embedding AS DOUBLE[])), 6) AS sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                    CAST(v.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                                v.vec_id) AS BIGINT) AS rank
+            FROM embeddings q CROSS JOIN embeddings v
+            WHERE q.vec_id IN (0, 1, 2)
+            QUALIFY rank <= 10
+            ORDER BY query_id, rank""",
         # filtered vector search: same brute-force twin, predicate applied
         # to the competing population (engine side: read-level pruning)
         "emb_ann_topk_filtered": """

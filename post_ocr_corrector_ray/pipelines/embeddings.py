@@ -31,6 +31,7 @@ from ..stages.embed import (
     ann_topk,
     ann_topk_ivf,
     ann_topk_lsh,
+    ann_topk_multi,
     cosine_pairs_blockwise,
     ivf_candidate_pairs,
     knn_graph_blockwise,
@@ -89,6 +90,21 @@ def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
 
 def emb_ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
     return ann_topk(_emb(sf_dir), _query_vector(sf_dir, 0), k=k)
+
+
+def emb_ann_topk_multi(sf_dir: str, k: int = 10,
+                       query_ids: tuple = (0, 1, 2)) -> pa.Table:
+    """Batched exact search: one corpus scan serves all queries (rows 0,1,2
+    of the table itself, so the SQL twin can name them).  The Q×d query
+    matrix broadcasts once; corpus I/O amortizes across the batch — at
+    100 TB this is the difference between Q scans and one."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", list(query_ids))])
+    order = np.argsort(np.asarray(t.column("vec_id").to_pylist()))
+    qids = np.asarray(t.column("vec_id").to_pylist(), np.int64)[order]
+    qmat = np.asarray(t.column("embedding").to_pylist(), np.float64)[order]
+    return ann_topk_multi(_emb(sf_dir), qids, qmat, k=k)
 
 
 def emb_ann_topk_filtered(sf_dir: str, k: int = 10, label: int = 3) -> pa.Table:

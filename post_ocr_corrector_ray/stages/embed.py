@@ -57,6 +57,66 @@ def ann_topk(ds: ray.data.Dataset, query: np.ndarray, *, k: int = 10,
         {id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
 
 
+def ann_topk_multi(ds: ray.data.Dataset, query_ids: np.ndarray,
+                   queries: np.ndarray, *, k: int = 10,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> pa.Table:
+    """BATCHED exact vector search — the shape a serving tier actually runs
+    (queries arrive in batches, not one at a time): one corpus scan answers
+    every query.  The Q×d query matrix is the broadcast small side
+    (``ray.put`` once); each batch does a single (B×d)@(d×Q) matmul, emits
+    per-query local top-k partials (k·Q rows per batch), and the driver
+    merges per query — so corpus I/O is paid once for Q queries instead of
+    Q times.  Ties → ascending id, matching the SQL twin's
+    ``QUALIFY row_number() OVER (PARTITION BY query_id
+    ORDER BY sim DESC, vec_id)``.  Returns (query_id, vec_id, sim, rank)."""
+    import ray as _ray
+
+    qm = np.asarray(queries, dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ref = _ray.put((np.asarray(query_ids, dtype=np.int64), qn))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat = _ray.get(q_ref)
+        m = _to_matrix(batch.column(vec_col))
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((m @ qmat.T) / norms[:, None], SIM_DECIMALS)  # B×Q
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+                   .astype(np.int64)
+        out_q, out_id, out_s = [], [], []
+        for j in range(sims.shape[1]):       # Q iterations, vectorized body
+            order = np.lexsort((ids, -sims[:, j]))[:k]
+            out_q.append(np.full(len(order), qids[j], np.int64))
+            out_id.append(ids[order])
+            out_s.append(sims[order, j])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64())})
+
+    parts = [b for b in ds.map_batches(local_topk, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    if not parts:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64()),
+                         "rank": pa.array([], pa.int64())})
+    allp = pa.concat_tables(parts)
+    qcol = allp.column("query_id").to_numpy(zero_copy_only=False)
+    icol = allp.column(id_col).to_numpy(zero_copy_only=False)
+    scol = allp.column("sim").to_numpy(zero_copy_only=False)
+    out = {"query_id": [], id_col: [], "sim": [], "rank": []}
+    for qid in np.unique(qcol):              # Q tiny driver merges
+        sel = qcol == qid
+        order = np.lexsort((icol[sel], -scol[sel]))[:k]
+        out["query_id"].append(np.full(len(order), qid, np.int64))
+        out[id_col].append(icol[sel][order])
+        out["sim"].append(scol[sel][order])
+        out["rank"].append(np.arange(1, len(order) + 1, dtype=np.int64))
+    return pa.table({c: pa.array(np.concatenate(v)) for c, v in out.items()})
+
+
 def nearest_neighbor_join(ds: ray.data.Dataset, all_vectors_ref, *,
                           vec_col: str = "embedding", id_col: str = "vec_id") -> ray.data.Dataset:
     """For every vector: its nearest other vector by cosine (brute force).

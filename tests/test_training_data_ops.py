@@ -203,6 +203,30 @@ class TestEmbed:
         want = list(np.lexsort((np.arange(len(sims)), -sims))[:5])
         assert out.column("vec_id").to_pylist() == [int(w) for w in want]
 
+    def test_ann_topk_multi_matches_per_query_and_layout(self):
+        """Batched search == the single-query path run per query (one scan
+        vs Q scans is an economics difference, never a results difference),
+        and the per-query merge is layout-invariant."""
+        import ray.data
+
+        tbl, _ = self._vec_table()
+        m64 = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+        qids = np.array([3, 11, 29], dtype=np.int64)
+        out = em.ann_topk_multi(ray.data.from_arrow(tbl), qids, m64[qids],
+                                k=5).to_pandas()
+        assert list(out.columns) == ["query_id", "vec_id", "sim", "rank"]
+        for qid in qids:
+            single = em.ann_topk(ray.data.from_arrow(tbl), m64[qid],
+                                 k=5).to_pandas()
+            got = out[out["query_id"] == qid].reset_index(drop=True)
+            assert got["vec_id"].tolist() == single["vec_id"].tolist()
+            np.testing.assert_array_equal(got["sim"].to_numpy(),
+                                          single["sim"].to_numpy())
+            assert got["rank"].tolist() == list(range(1, 6))
+        out2 = em.ann_topk_multi(ray.data.from_arrow(tbl).repartition(7),
+                                 qids, m64[qids], k=5).to_pandas()
+        pd.testing.assert_frame_equal(out2, out)
+
     def test_nn_join_excludes_self(self):
         import ray
         import ray.data
