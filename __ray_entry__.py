@@ -318,7 +318,8 @@ _R5_NEW_PRIORITY: tuple = ("emb_pq_codes_incremental", "emb_ivfadc_topk",
                            "emb_ivfadc_index_topk",
                            "emb_ann_topk_filtered",
                            "emb_ivfadc_topk_filtered",
-                           "emb_ann_topk_multi")
+                           "emb_ann_topk_multi",
+                           "doc_bpe_token_counts")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -380,6 +381,12 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_exact": D.doc_dedup_exact,
         "doc_token_stats": D.doc_token_stats,
         "doc_token_count_bpe": D.doc_token_count_bpe,
+        # BPE tokenizer TRAINING (vocabulary induction from the corpus's
+        # own word census; iterative — pytest-pinned, no SQL twin possible)
+        "doc_bpe_merges": lambda sf: D.doc_bpe_merges(sf),
+        # distributed application of the learned merges; recursive-CTE twin
+        # re-applies independently re-derived inlined merge constants
+        "doc_bpe_token_counts": lambda sf: D.doc_bpe_token_counts(sf),
         "doc_scrub_pii": D.doc_scrub_pii,
         "doc_quality": D.doc_quality,
         "doc_langid": D.doc_langid,
@@ -760,6 +767,37 @@ def _oracle_pq_constants():
                       filters=[("vec_id", "=", 0)])
     query = np.array(t.column("embedding")[0].as_py(), dtype=np.float64)
     return books, query
+
+
+def _bpe_oracle_merges(n_merges: int = 30):
+    """The learned BPE merge table re-derived OUTSIDE Ray (the
+    ``_oracle_pq_sample`` discipline): word census by a local pyarrow
+    recount, merges by the shared deterministic trainer — any divergence
+    from the engine's exchange-counted census or its merge learning shows
+    up as an oracle hash mismatch."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from post_ocr_corrector_ray.stages.bpe import bpe_train_from_counts
+
+    t = pq.read_table(f"{_ORACLE_SF_DIR}/documents.parquet",
+                      columns=["text"])
+    census: Counter = Counter()
+    for txt in t.column("text").to_pylist():
+        if txt:
+            census.update(txt.strip().split())
+    words = sorted(census)
+    merges = bpe_train_from_counts(
+        words, np.array([census[w] for w in words], dtype=np.int64),
+        n_merges)
+    import pyarrow as pa
+
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "pair_count": pa.array([m[2] for m in merges], pa.int64())})
 
 
 def _mix_oracle_sql(alpha: float = 0.5) -> str:
@@ -2503,4 +2541,8 @@ def oracle_sql() -> dict[str, str]:
             _cents, _rbooks, _pq_query, k=10, n_probe=8, where="label = 3")
     if os.path.exists(f"{_ORACLE_SF_DIR}/documents.parquet"):
         out["doc_mix_materialize"] = _mix_oracle_sql()
+        from post_ocr_corrector_ray.stages.bpe import bpe_counts_oracle_sql
+
+        out["doc_bpe_token_counts"] = bpe_counts_oracle_sql(
+            _bpe_oracle_merges())
     return out

@@ -155,7 +155,7 @@ def run_benchmarks() -> dict:
         "emb_pq_codes_incremental", "emb_ivfadc_topk",
         "emb_ivfadc_topk_rerank", "emb_ivfadc_index_topk",
         "emb_ann_topk_filtered", "emb_ivfadc_topk_filtered",
-        "emb_ann_topk_multi",
+        "emb_ann_topk_multi", "doc_bpe_token_counts",
         "flagship_dictionary_joined",
     ]
     # Each query is timed as the best of two consecutive runs: the first

@@ -68,6 +68,52 @@ def doc_token_counts(sf_dir: str) -> ray.data.Dataset:
                         num_partitions=p)
 
 
+_BPE_MERGES_CACHE: dict = {}
+
+
+def _bpe_merges(sf_dir: str, n_merges: int = 30):
+    """One BPE training pass per table, memoized (the _PQ_BOOKS_CACHE
+    discipline): the word census is the corpus-sized exchange
+    (``doc_token_counts``), merge learning runs on its aggregated output —
+    deterministic in sf_dir, so the memo changes nothing observable."""
+    key = (sf_dir, n_merges)
+    got = _BPE_MERGES_CACHE.get(key)
+    if got is None:
+        from ..stages.bpe import bpe_learn
+
+        got = bpe_learn(doc_token_counts(sf_dir), n_merges)
+        _BPE_MERGES_CACHE[key] = got
+    return got
+
+
+def doc_bpe_merges(sf_dir: str, n_merges: int = 30):
+    """BPE tokenizer TRAINING (stages/bpe.py; Sennrich et al. 2016):
+    vocabulary induction from the corpus's own word census.  The only
+    corpus-sized pass is the word-frequency exchange; merge learning is a
+    deterministic driver-side pass over the aggregated (token, frequency)
+    table — the PQ-codebook discipline applied to tokenizers.  Returns the
+    merge table (rank, left, right, pair_count); training is iterative and
+    not SQL-expressible, so correctness is pytest-pinned (golden Sennrich
+    example + independent naive recount) while the APPLICATION twin below
+    is oracle-backed."""
+    return _bpe_merges(sf_dir, n_merges)
+
+
+def doc_bpe_token_counts(sf_dir: str, n_merges: int = 30) -> ray.data.Dataset:
+    """Distributed application of the learned BPE merges: per document,
+    whitespace-word and BPE-token counts (stages/bpe.py::bpe_token_counts —
+    merges broadcast once, per-batch distinct-word memoized encode).  The
+    generated DuckDB twin re-applies the SAME learned merges (inlined
+    constants, independently re-derived by a local non-Ray recount) through
+    a recursive CTE that merges one leftmost lowest-rank pair per step —
+    provably equivalent to the engine's all-occurrences merge (see
+    stages/bpe.py module docstring)."""
+    from ..stages.bpe import bpe_token_counts
+
+    return bpe_token_counts(_docs(sf_dir, ["doc_id", "text"]),
+                            _bpe_merges(sf_dir, n_merges))
+
+
 def doc_dictionary_join(sf_dir: str, min_frequency: int = 2,
                         metric: str = "lev") -> ray.data.Dataset:
     """Dictionary correction with the vocabulary as a DATASET — the
