@@ -262,6 +262,13 @@ def run_scaling() -> dict:
     t_lo, t_hi = out[lo]["value"], out[hi]["value"]
     eff = round((t_lo / t_hi) / (hi / lo), 3)
     hw_ceiling = round((calib[hi] / calib[lo]) / (hi / lo), 3)
+    # The corrector actor pool is integer-floored: at num_cpus=2 the shipped
+    # formula provisions 1 actor (50% of the machine correcting) vs the 3/4
+    # ratio at >=8 cpus — so cpu-normalized efficiency OVERSTATES at small-N
+    # pairs (can read >1.0).  Report the actor-slot-normalized efficiency
+    # alongside so the artifact itself shows the provisioning, not prose.
+    actors = {n: max(1, min(n - 2, (n * 3) // 4)) for n in (lo, hi)}
+    eff_actor = round((t_lo / t_hi) / (actors[hi] / actors[lo]), 3)
     return {
         "metric": f"scaling efficiency ({lo} → {hi} cpus, same input)",
         f"sec_{lo}": t_lo,
@@ -269,6 +276,8 @@ def run_scaling() -> dict:
         f"docs_per_sec_{lo}": out[lo]["docs_per_sec"],
         f"docs_per_sec_{hi}": out[hi]["docs_per_sec"],
         "scaling_efficiency": eff,
+        "corrector_actors": actors,
+        "scaling_efficiency_per_actor": eff_actor,
         "cpu_calibration_mips": calib,
         "hw_scaling_ceiling": hw_ceiling,
         "efficiency_vs_hw_ceiling": round(eff / hw_ceiling, 3) if hw_ceiling else None,

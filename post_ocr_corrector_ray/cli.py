@@ -415,10 +415,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "ivf-index":
             import pyarrow.parquet as _pq
 
-            from .stages.pq import (ivfadc_index_incremental,
+            from .stages.pq import (ivfadc_index_commit,
+                                    ivfadc_index_incremental,
                                     ivfadc_store_exists, ivfadc_store_load,
                                     ivfadc_store_save)
-            from .state.lineage import commit_by_key, fingerprint_inputs
+            from .state.lineage import fingerprint_inputs
 
             vecs = ray.data.read_parquet(args.embeddings,
                                          columns=[args.id_col, args.vec_col])
@@ -434,11 +435,13 @@ def main(argv: list[str] | None = None) -> int:
             index, _c, _b, trained = ivfadc_index_incremental(
                 vecs, args.out_dir, vec_col=args.vec_col,
                 id_col=args.id_col, approx_count=n)
-            summary = commit_by_key(
+            # CELL-partitioned commit — the serving layout: a query's probed
+            # cells map to a known partition subset, so the from-store read
+            # prunes whole files (stages/pq.py::ivfadc_topk_from_store)
+            summary = ivfadc_index_commit(
                 index, os.path.join(args.out_dir, "index"),
-                key_col=args.id_col, num_partitions=args.partitions,
-                input_fingerprint=fingerprint_inputs(args.embeddings),
-                stage_versions={"ivfadc": "c16-m8-k16-v1"}) \
+                num_partitions=args.partitions,
+                input_fingerprint=fingerprint_inputs(args.embeddings)) \
                 .to_pandas()
             print(json.dumps({
                 "partitions_committed": len(summary),

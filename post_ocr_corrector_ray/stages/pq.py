@@ -732,6 +732,73 @@ def ivfadc_topk_from_index(index_ds: ray.data.Dataset, query: np.ndarray,
         "rank": pa.array(np.arange(1, len(ids) + 1, dtype=np.int64))})
 
 
+def ivfadc_index_commit(index_ds: ray.data.Dataset, index_dir: str, *,
+                        num_partitions: int = 16,
+                        input_fingerprint: str = ""):
+    """Commit a built IVFADC index CELL-partitioned — the serving layout the
+    ``ivfadc_index_build`` docstring promises: rows land in
+    ``part=<polyhash(cell) % P>`` directories, so a query's ``n_probe``
+    cells map to a known subset of partition FILES and
+    ``ivfadc_topk_from_store`` never opens the rest (file-level pruning,
+    not just row filtering).  ``num_partitions`` is recorded in the lineage
+    (``stage_versions``) so readers recover the layout contract from the
+    store itself.  Resumable/atomic via ``commit_by_key``."""
+    from ..state.lineage import commit_by_key
+
+    return commit_by_key(
+        index_ds, index_dir, key_col="cell",
+        num_partitions=num_partitions,
+        input_fingerprint=input_fingerprint,
+        stage_versions={"ivfadc": "c16-m8-k16-v1",
+                        "num_partitions": num_partitions,
+                        "partition_key": "cell"})
+
+
+def ivfadc_topk_from_store(index_dir: str, query: np.ndarray,
+                           centroids: np.ndarray, codebooks: np.ndarray, *,
+                           k: int = 10, n_probe: int = 4,
+                           id_col: str = "vec_id",
+                           keep: tuple[str, object] | None = None
+                           ) -> pa.Table:
+    """Serve from a CELL-partitioned committed index store
+    (``ivfadc_index_commit`` output): compute the probe list, map each
+    probed cell to its partition id with the store's own recorded hash
+    contract, and read ONLY those partitions' parquet files — at 100 TB
+    the (1 - n_probe/n_cells) of the index that can't contain a candidate
+    is never opened.  The pruned read feeds ``ivfadc_topk_from_index``, so
+    results stay bit-identical to the unpruned path (pytest-pinned)."""
+    from ..functions.hashing import partition_of_array
+    from ..state import lineage as lin
+
+    recs = lin.read_lineage(index_dir)
+    if not recs:
+        raise FileNotFoundError(f"no committed partitions under {index_dir}")
+    n_parts = {r["stage_versions"].get("num_partitions") for r in recs}
+    if len(n_parts) != 1 or None in n_parts:
+        raise ValueError(f"{index_dir} lineage does not record a single "
+                         f"num_partitions: {n_parts}")
+    P = int(n_parts.pop())
+
+    cent_int = _int_scale(centroids)
+    q_int = _int_scale(query)
+    qd2 = ((q_int[None, :] - cent_int) ** 2).sum(axis=1)
+    probe = np.lexsort((np.arange(len(cent_int)), qd2))[:n_probe]
+    want_parts = set(partition_of_array(
+        pa.array([str(int(c)) for c in probe], pa.string()), P).tolist())
+    committed = lin.committed_partitions(index_dir)
+    paths = [f"{lin.partition_dir(index_dir, p)}/data.parquet"
+             for p in sorted(want_parts & committed)]
+    if not paths:
+        return pa.table({
+            id_col: pa.array([], pa.int64()),
+            "adc_dist": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int64())})
+    pruned = ray.data.read_parquet(paths)
+    return ivfadc_topk_from_index(pruned, query, centroids, codebooks,
+                                  k=k, n_probe=n_probe, id_col=id_col,
+                                  keep=keep)
+
+
 def ivfadc_store_save(centroids: np.ndarray, codebooks: np.ndarray,
                       store_dir: str, *, meta: dict | None = None) -> None:
     """Freeze a trained IVFADC quantizer (coarse centroids + residual

@@ -537,6 +537,49 @@ class TestProductQuantization:
             k=10, n_probe=4).to_pandas()
         pd.testing.assert_frame_equal(whole, single)
 
+    def test_ivfadc_store_serving_prunes_partitions(self, tmp_path):
+        """Cell-partitioned committed index: the from-store query reads only
+        the probed cells' partition files (a strict subset when P is wide
+        enough) and returns results bit-identical to the unpruned
+        from-index path; a second commit over the same input is a no-op
+        (resume) and serving still works."""
+        from post_ocr_corrector_ray.functions.hashing import (
+            partition_of_array)
+        from post_ocr_corrector_ray.state import lineage as lin
+        from post_ocr_corrector_ray.stages.pq import (
+            _int_scale, ivfadc_index_build, ivfadc_index_commit,
+            ivfadc_topk_from_index, ivfadc_topk_from_store, ivfadc_train)
+
+        ds, _, ids, mat = self._setup()
+        q = mat[ids == 0][0]
+        cents, books = ivfadc_train(ds, approx_count=len(ids))
+        index = ivfadc_index_build(ds, cents, books)
+        idx_dir = str(tmp_path / "cell_index")
+        s1 = ivfadc_index_commit(index, idx_dir, num_partitions=16) \
+            .to_pandas()
+        assert s1["n_rows"].sum() == len(ids)
+        want = ivfadc_topk_from_index(index, q, cents, books,
+                                      k=10, n_probe=4).to_pandas()
+        got = ivfadc_topk_from_store(idx_dir, q, cents, books,
+                                     k=10, n_probe=4).to_pandas()
+        pd.testing.assert_frame_equal(got, want)
+        # the probe maps to a strict subset of committed partitions
+        cent_int = _int_scale(cents)
+        q_int = _int_scale(q)
+        qd2 = ((q_int[None, :] - cent_int) ** 2).sum(axis=1)
+        probe = np.lexsort((np.arange(len(cent_int)), qd2))[:4]
+        import pyarrow as pa
+        pruned = set(partition_of_array(
+            pa.array([str(int(c)) for c in probe]), 16).tolist())
+        assert len(pruned) < len(lin.committed_partitions(idx_dir))
+        # resume: a re-commit of the same index writes nothing new
+        s2 = ivfadc_index_commit(ivfadc_index_build(ds, cents, books),
+                                 idx_dir, num_partitions=16).to_pandas()
+        assert len(s2) == 0
+        got2 = ivfadc_topk_from_store(idx_dir, q, cents, books,
+                                      k=10, n_probe=4).to_pandas()
+        pd.testing.assert_frame_equal(got2, want)
+
     def test_filtered_search_exact_and_compressed(self):
         """Filtered vector search: (a) the exact path equals brute-force
         cosine restricted to the predicate's population; (b) the compressed
