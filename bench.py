@@ -255,9 +255,20 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_PAGES_MULT=os.environ.get("GRAFT_PAGES_MULT", "2"),
                    GRAFT_HEADLINE_ONLY="1")
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                              capture_output=True, text=True, check=True,
-                              cwd=os.path.dirname(os.path.abspath(__file__)))
+        # One retry on transient child failure (shared-VM Ray startup flakes);
+        # surface the child's stderr tail either way so a crash is diagnosable
+        # from the .err capture instead of a bare CalledProcessError.
+        for attempt in (1, 2):
+            proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                  env=env, capture_output=True, text=True,
+                                  cwd=os.path.dirname(os.path.abspath(__file__)))
+            if proc.returncode == 0:
+                break
+            sys.stderr.write(f"[scaling] child num_cpus={ncpu} attempt {attempt} "
+                             f"rc={proc.returncode}; stderr tail:\n"
+                             + "\n".join(proc.stderr.splitlines()[-15:]) + "\n")
+        else:
+            raise RuntimeError(f"scaling child num_cpus={ncpu} failed twice")
         out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
     t_lo, t_hi = out[lo]["value"], out[hi]["value"]
     eff = round((t_lo / t_hi) / (hi / lo), 3)
