@@ -319,7 +319,7 @@ _R5_NEW_PRIORITY: tuple = ("emb_pq_codes_incremental", "emb_ivfadc_topk",
                            "emb_ann_topk_filtered",
                            "emb_ivfadc_topk_filtered",
                            "emb_ann_topk_multi",
-                           "doc_bpe_token_counts")
+                           "doc_bpe_token_counts", "doc_quality_tiers")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -389,6 +389,10 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_token_counts": lambda sf: D.doc_bpe_token_counts(sf),
         "doc_scrub_pii": D.doc_scrub_pii,
         "doc_quality": D.doc_quality,
+        # CCNet-style head/middle/tail bucketing: per-language NTILE over the
+        # quality score, via (lang, score-bits) histogram-offset ranking —
+        # no global or per-language sort
+        "doc_quality_tiers": lambda sf: D.doc_quality_tiers(sf),
         "doc_langid": D.doc_langid,
         "doc_fingerprint": D.doc_fingerprint,
         "doc_fingerprint_rolling": D.doc_fingerprint_rolling,
@@ -1527,6 +1531,23 @@ def oracle_sql() -> dict[str, str]:
                                   THEN 1.0 ELSE 0.5 END
                            + CASE WHEN stop_ratio > 0.0 THEN 1.0 ELSE 0.6 END) AS quality
             FROM s""",
+        "doc_quality_tiers": f"""
+            WITH s AS ({_TOKEN_STATS_SQL}),
+            q AS (
+              SELECT s.doc_id, d.lang,
+                     0.25 * (least(s.n_chars / 200.0, 1.0)
+                             + least(s.n_words / 30.0, 1.0)
+                             + CASE WHEN s.mean_word_len >= 2.0
+                                         AND s.mean_word_len <= 12.0
+                                    THEN 1.0 ELSE 0.5 END
+                             + CASE WHEN s.stop_ratio > 0.0
+                                    THEN 1.0 ELSE 0.6 END) AS quality
+              FROM s JOIN documents d USING (doc_id))
+            SELECT doc_id, lang, quality,
+                   CAST(ntile(3) OVER (PARTITION BY lang
+                                       ORDER BY quality, doc_id) AS BIGINT)
+                       AS tier
+            FROM q""",
         "emb_ann_topk": """
             SELECT vec_id,
                    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

@@ -128,7 +128,8 @@ def run_benchmarks() -> dict:
         "doc_tfidf_top_terms", "doc_inverted_index",
         "shipping_priority", "doc_embedding_join", "media_phash_dups",
         "events_value_hour_corr", "supplier_counts_rollup",
-        "supplier_counts_cube", "doc_length_ntile", "customer_order_dist",
+        "supplier_counts_cube", "doc_length_ntile", "doc_quality_tiers",
+        "customer_order_dist",
         "customers_with_events_bloom", "events_value_zscore",
         "events_funnel", "doc_bigram_pmi", "events_latest_per_user",
         "events_value_histogram", "revenue_by_nation",

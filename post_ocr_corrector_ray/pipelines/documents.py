@@ -1057,6 +1057,87 @@ def doc_length_ntile(sf_dir: str, n: int = 8) -> ray.data.Dataset:
     return ranked.map_batches(bucketize, batch_format="pyarrow")
 
 
+def doc_quality_tiers(sf_dir: str, n: int = 3) -> ray.data.Dataset:
+    """Per-language quality tiers — NTILE(n) OVER (PARTITION BY lang ORDER BY
+    quality, doc_id) over the composite quality score: the CCNet head/middle/
+    tail corpus bucketing (Wenzek et al. 2020, with the repo's C4/Gopher
+    composite from stages/textstats.py::quality_score_batch standing in for
+    the LM-perplexity score this container can't train).
+
+    Distributed without a global OR per-language sort (a language is a giant
+    key at 100 TB — one group per task would not fit): the float64 score maps
+    to its IEEE-754 bit pattern (order-isomorphic int64 for the non-negative
+    scores this formula emits), a (lang, value) histogram gives every score
+    group its per-language base offset (tiny driver cumsum over DISTINCT
+    (lang, value) pairs — global_rank's bounded-domain contract; quantize the
+    score first if its distinct-value count is unbounded), and ONE
+    (lang, value)-keyed exchange finishes rank and tier in closed form with
+    the exact SQL NTILE size rule (doc_length_ntile's bucketize, per
+    language).  The broadcast side is offsets + per-language totals, shipped
+    once via ``ray.put``."""
+    import pandas as pd
+    import ray
+
+    from ..stages.components import _pin
+    from ..stages.shuffle import grouped_agg, grouped_apply
+
+    def project(batch: pa.Table) -> pa.Table:
+        q = ts.quality_score_batch(batch.select(["doc_id", "text"]))
+        qual = q.column("quality").to_numpy()
+        return pa.table({"doc_id": q.column("doc_id"),
+                         "lang": batch.column("lang"),
+                         "quality": q.column("quality"),
+                         # IEEE bits: order-isomorphic int64 exchange key
+                         "value": pa.array(qual.view(np.int64), pa.int64())})
+
+    from ..stages.shuffle import partitions_for
+
+    # pinned because it is consumed twice (histogram pass + rank pass) and
+    # the text column is already projected away — 4 narrow columns spill fine
+    docs = _pin(_docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        project, batch_format="pyarrow"), partitions_for())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({"lang": batch.column("lang").to_pandas(),
+                           "value": batch.column("value").to_numpy()})
+             .groupby(["lang", "value"], as_index=False).size()
+             .rename(columns={"size": "cnt"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = grouped_agg(docs.map_batches(partial, batch_format="pyarrow"),
+                       ["lang", "value"], {"cnt": ("cnt", "sum")})
+    parts = list(hist.iter_batches(batch_size=65536, batch_format="pandas"))
+    merged = (pd.concat(parts).groupby(["lang", "value"], as_index=False)
+              ["cnt"].sum().sort_values(["lang", "value"])) if parts else \
+        pd.DataFrame({"lang": pd.Series([], dtype=object),
+                      "value": pd.Series([], dtype=np.int64),
+                      "cnt": pd.Series([], dtype=np.int64)})
+    merged["off"] = (merged.groupby("lang")["cnt"].cumsum()
+                     - merged["cnt"]).to_numpy(np.int64)
+    totals = (merged.groupby("lang", as_index=False)["cnt"].sum()
+              .rename(columns={"cnt": "t"}))
+    base_ref = ray.put(merged[["lang", "value", "off"]].merge(totals,
+                                                              on="lang"))
+
+    def tier_part(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(base_ref)
+        df = df.sort_values(["lang", "value", "doc_id"])
+        pos = df.groupby(["lang", "value"]).cumcount().to_numpy(np.int64)
+        m = df.merge(b, on=["lang", "value"], how="left")  # keeps left order
+        rank = m["off"].to_numpy(np.int64) + pos + 1
+        t = m["t"].to_numpy(np.int64)
+        q_, r_ = np.divmod(t, n)
+        tier = np.where(rank <= r_ * (q_ + 1),
+                        (rank - 1) // (q_ + 1),
+                        r_ + (rank - 1 - r_ * (q_ + 1))
+                        // np.maximum(q_, 1)) + 1
+        out = df[["doc_id", "lang", "quality"]].copy()
+        out["tier"] = tier.astype(np.int64)
+        return out
+
+    return grouped_apply(docs, ["lang", "value"], tier_part)
+
+
 def doc_bigram_pmi(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
     """Pointwise mutual information of adjacent word pairs (collocation
     mining — the phrase-detection shape from word2vec preprocessing), exact

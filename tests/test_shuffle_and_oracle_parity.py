@@ -99,6 +99,8 @@ class TestOracleParitySubset:
         "shipping_priority", "doc_embedding_join",
         # tumbling-window aggregate (datetime output column)
         "events_hourly",
+        # per-language NTILE quality tiers (histogram-offset rank, no sort)
+        "doc_quality_tiers",
     ])
     def test_query_matches_oracle(self, con, name):
         import __ray_entry__ as entry
