@@ -319,7 +319,9 @@ _R5_NEW_PRIORITY: tuple = ("emb_pq_codes_incremental", "emb_ivfadc_topk",
                            "emb_ann_topk_filtered",
                            "emb_ivfadc_topk_filtered",
                            "emb_ann_topk_multi",
-                           "doc_bpe_token_counts", "doc_quality_tiers")
+                           "doc_bpe_token_counts", "doc_quality_tiers",
+                           "doc_winnowing", "doc_dedup_keep_best",
+                           "doc_ngram_novelty")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -396,6 +398,16 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "doc_langid": D.doc_langid,
         "doc_fingerprint": D.doc_fingerprint,
         "doc_fingerprint_rolling": D.doc_fingerprint_rolling,
+        # MOSS winnowing fingerprints (Schleimer et al. 2003): md5 oracle
+        # twin + vectorized uint64 scale default (no-twin, pytest-pinned)
+        "doc_winnowing": D.doc_winnowing,
+        "doc_winnowing_fast": D.doc_winnowing_fast,
+        # keep the best-quality member of each near-dup cluster (curation
+        # twin of doc_dedup_near; score table joined, never broadcast)
+        "doc_dedup_keep_best": D.doc_dedup_keep_best,
+        # corpus-contribution novelty: share of a doc's distinct 5-grams
+        # first seen in that doc (gram-ownership exchange)
+        "doc_ngram_novelty": D.doc_ngram_novelty,
         "doc_simhash": D.doc_simhash,
         "doc_simhash_md5": D.doc_simhash_md5,
         "doc_simhash_candidates": D.doc_simhash_candidates,
@@ -1522,6 +1534,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN (SELECT doc_id, min(md5(gram)) AS fp_min
                   FROM grams GROUP BY doc_id) m USING (doc_id)""",
+        # MOSS winnowing (k=8 char grams, window w=4): per window the min
+        # md5 digest, rightmost position on ties; distinct (doc_id,pos,fp).
+        # Same short-doc gram convention as doc_fingerprint (substr pads).
+        "doc_winnowing": r"""
+            WITH g AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     md5(substr(text, CAST(i AS INTEGER), 8)) AS h
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+                    FROM documents)
+            ), n AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS ng
+              FROM g GROUP BY doc_id
+            ), wins AS (
+              SELECT doc_id, CAST(wi AS BIGINT) AS win
+              FROM (SELECT doc_id,
+                           unnest(generate_series(1, greatest(ng - 3, 1))) AS wi
+                    FROM n)
+            ), sel AS (
+              SELECT w.doc_id, g.pos, g.h,
+                     ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.win
+                                        ORDER BY g.h ASC, g.pos DESC) AS rn
+              FROM wins w JOIN g ON g.doc_id = w.doc_id
+                                AND g.pos BETWEEN w.win AND w.win + 3)
+            SELECT DISTINCT doc_id, pos, h AS fp FROM sel WHERE rn = 1""",
         "doc_quality": f"""
             WITH s AS ({_TOKEN_STATS_SQL})
             SELECT doc_id, n_chars, n_words, n_punct, mean_word_len, stop_ratio,
@@ -1871,6 +1908,29 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT node, least(node, min(r)) AS component
                     FROM reach GROUP BY node)
               WHERE node <> component)""",
+        # keep-best curation dedup: the cluster survivor is the max-quality
+        # member (quality DESC, doc_id ASC) instead of the min id
+        "doc_dedup_keep_best": _CC_ORACLE + f""",
+            comp AS (SELECT node, least(node, min(r)) AS component
+                     FROM reach GROUP BY node),
+            q AS (
+              SELECT s.doc_id,
+                     0.25 * (least(s.n_chars / 200.0, 1.0)
+                             + least(s.n_words / 30.0, 1.0)
+                             + CASE WHEN s.mean_word_len >= 2.0
+                                         AND s.mean_word_len <= 12.0
+                                    THEN 1.0 ELSE 0.5 END
+                             + CASE WHEN s.stop_ratio > 0.0
+                                    THEN 1.0 ELSE 0.6 END) AS quality
+              FROM ({_TOKEN_STATS_SQL}) s),
+            ranked AS (
+              SELECT c.node,
+                     ROW_NUMBER() OVER (PARTITION BY c.component
+                                        ORDER BY q.quality DESC, c.node ASC)
+                         AS rn
+              FROM comp c JOIN q ON q.doc_id = c.node)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1)""",
         "doc_repetition_stats": _REPETITION_SQL,
         "doc_repetition_filter": f"""
             SELECT doc_id FROM ({_REPETITION_SQL})
@@ -1882,6 +1942,32 @@ def oracle_sql() -> dict[str, str]:
         # the distributed (gram-keyed exchange) scale twin computes the SAME
         # contract — one oracle serves both paths
         "doc_contamination_joined": _CONTAMINATION_SQL,
+        # corpus-contribution novelty: per doc, the share of its DISTINCT
+        # word-5-grams whose min-doc_id owner is the doc itself (same gram
+        # CTE + short-doc convention as the contamination oracle)
+        "doc_ngram_novelty": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                         x -> x <> '') AS t
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(t) < 5 THEN array_to_string(t, ' ')
+                          ELSE array_to_string(
+                               t[CAST(g AS BIGINT):CAST(g AS BIGINT) + 4], ' ')
+                     END AS gram
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, greatest(len(t) - 4, 1))) AS g
+                    FROM toks)
+            ), own AS (SELECT gram, min(doc_id) AS owner
+                       FROM grams GROUP BY gram)
+            SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   sum(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END) * 1.0
+                       / count(*) AS novelty
+            FROM grams g JOIN own o USING (gram)
+            GROUP BY g.doc_id""",
         # unigram familiarity vs the train split's (doc_id%10 ∉ {0,9}) token
         # frequencies; integer sums/counts → exact double division
         "doc_token_familiarity": r"""

@@ -204,6 +204,22 @@ def doc_fingerprint_rolling(sf_dir: str) -> ray.data.Dataset:
         ts.fingerprint_rolling_batch, batch_format="pyarrow")
 
 
+def doc_winnowing(sf_dir: str) -> ray.data.Dataset:
+    """MOSS winnowing fingerprints (Schleimer et al., SIGMOD 2003), md5
+    variant: one fingerprint per window of w=4 consecutive k=8-char-gram
+    digests — the min, rightmost on ties.  Exact SQL twin (window join +
+    ROW_NUMBER).  Scale sibling: doc_winnowing_fast."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ts.winnowing_batch, batch_format="pyarrow")
+
+
+def doc_winnowing_fast(sf_dir: str) -> ray.data.Dataset:
+    """uint64 rolling-hash winnowing — the vectorized 100-TB default (no SQL
+    twin; coverage guarantee + determinism pytest-pinned)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ts.winnowing_fast_batch, batch_format="pyarrow")
+
+
 def doc_token_count_bpe(sf_dir: str) -> ray.data.Dataset:
     """BPE-ish + whitespace token counts (training-budget pass; SQL twin)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -421,6 +437,31 @@ def doc_dedup_near(sf_dir: str) -> ray.data.Dataset:
     from ..stages.components import near_dedup
 
     return near_dedup(_docs(sf_dir, ["doc_id"]), _near_dup_pairs(sf_dir))
+
+
+def doc_dedup_keep_best(sf_dir: str) -> ray.data.Dataset:
+    """Near-duplicate dedup keeping each cluster's HIGHEST-QUALITY member
+    (quality DESC, doc_id ASC on ties) — the curation variant of
+    doc_dedup_near: real web pipelines keep the best page of a dup cluster,
+    not the lowest id.  Pairs → components → co-partitioned score join →
+    component-keyed winner exchange → anti join; the score table is joined,
+    never broadcast."""
+    from ..stages.components import near_dedup_by_score
+
+    scores = doc_quality(sf_dir).map_batches(
+        lambda b: b.select(["doc_id", "quality"]), batch_format="pyarrow")
+    return near_dedup_by_score(_docs(sf_dir, ["doc_id"]),
+                               _near_dup_pairs(sf_dir), scores)
+
+
+def doc_ngram_novelty(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc novelty: fraction of its distinct word-5-grams first seen (by
+    min doc_id) in this document — the corpus-contribution curation metric.
+    One gram-keyed ownership exchange + one doc-keyed partial sum
+    (stages/corpusprep.py::ngram_novelty); exact SQL twin."""
+    from ..stages import corpusprep as cp
+
+    return cp.ngram_novelty(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def doc_simhash_md5(sf_dir: str) -> ray.data.Dataset:

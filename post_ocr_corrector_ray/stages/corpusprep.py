@@ -332,3 +332,68 @@ def temperature_weights(group_counts: dict[str, int], alpha: float = 0.5
     pows = np.sqrt(base) if alpha == 0.5 else base ** alpha
     total = float(pows.sum())
     return {g: float(p / total) for g, p in zip(groups, pows)}
+
+
+def ngram_novelty(docs, *, text_col: str = "text", id_col: str = "doc_id",
+                  n_gram: int = 5, num_partitions: int = 64):
+    """Per-document n-gram novelty: the fraction of a document's DISTINCT
+    word n-grams whose global first occurrence (owner = min doc_id over all
+    documents containing the gram) is the document itself — the
+    "contribution" metric data-curation pipelines use to rank documents by
+    how much previously-unseen text they add to the corpus (the dual of
+    ``contamination_joined``'s overlap scoring; same short-doc convention:
+    < ``n_gram`` words → one whole-text gram).
+
+    ONE gram-keyed exchange computes each gram's owner AND pre-aggregates
+    per-doc (seen, owned) partials inside the partition; a second doc-keyed
+    exchange sums the tiny partials.  No broadcast, no driver
+    materialization — both sides of the ownership question are the corpus
+    itself, so this is the unbroadcastable-by-construction shape.
+    Returns (doc_id, n_grams, n_novel, novelty).
+    """
+    import pandas as pd
+
+    from .shuffle import grouped_agg, grouped_apply
+
+    def grams(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).combine_chunks()
+        gram_arr, grow = word_grams_per_row(texts, n_gram)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[grow]
+        return pa.table({"gram": gram_arr,
+                         id_col: pa.array(ids, pa.int64())})
+
+    occ = docs.map_batches(grams, batch_format="pyarrow")
+
+    def own(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "k": pd.Series([], dtype="int64")})
+        owner = df.groupby("gram")[id_col].transform("min").to_numpy()
+        novel = (df[id_col].to_numpy() == owner).astype(np.int64)
+        g = df.assign(n=1, k=novel) \
+            .groupby(id_col, as_index=False)[["n", "k"]].sum()
+        return g.astype({id_col: "int64", "n": "int64", "k": "int64"})
+
+    per_gram = grouped_apply(occ, ["gram"], own,
+                             num_partitions=num_partitions)
+    agg = grouped_agg(per_gram, [id_col],
+                      {"n_grams": ("n", "sum"), "n_novel": ("k", "sum")},
+                      num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_grams").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = batch.column("n_novel").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "n_grams": pa.array(n, pa.int64()),
+            "n_novel": pa.array(k, pa.int64()),
+            # one IEEE division of exact integers — bit-equal to the SQL
+            # twin's  n_novel * 1.0 / n_grams
+            "novelty": pa.array(k * 1.0 / n, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

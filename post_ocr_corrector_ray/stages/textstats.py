@@ -284,3 +284,113 @@ def fingerprint_rolling_batch(batch: pa.Table, *, text_col: str = "text",
         "fingerprint_min": pa.array([m & 0x7FFFFFFFFFFFFFFF for m in mins], pa.int64()),
         "content_hash": pa.array([f & 0x7FFFFFFFFFFFFFFF for f in fulls], pa.int64()),
     })
+
+
+def _winnow_positions(h: np.ndarray, w: int) -> np.ndarray:
+    """0-based positions selected by robust winnowing over the per-position
+    hash array ``h``: every window of ``min(w, n)`` consecutive hashes
+    contributes its minimum, RIGHTMOST occurrence on ties (Schleimer,
+    Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD 2003).  Vectorized: one sliding-window view +
+    one argmin over the reversed window axis (first-min of the reversal =
+    rightmost-min of the window)."""
+    n = h.size
+    ww = min(w, n)
+    win = np.lib.stride_tricks.sliding_window_view(h, ww)[:, ::-1]
+    j = win.argmin(axis=1)
+    pos = np.arange(n - ww + 1, dtype=np.int64) + (np.int64(ww - 1) - j)
+    return np.unique(pos)
+
+
+def winnowing_batch(batch: pa.Table, *, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 8, w: int = 4
+                    ) -> pa.Table:
+    """MOSS winnowing fingerprints, md5 variant (exact ANSI-SQL twin).
+
+    Per document: md5 hex digests of the k-char grams at every position
+    (same gram convention as ``fingerprint_batch`` / its oracle: a document
+    shorter than ``k`` contributes ONE whole-text gram), then robust
+    winnowing selects one fingerprint per window of ``w`` consecutive grams
+    — the lexicographic-min digest, rightmost on ties.  Output: DISTINCT
+    (doc_id, pos, fp) with 1-based gram positions, matching the SQL twin's
+    ``substr`` positions.  The hash loop is cached per *distinct* gram (the
+    fingerprint_batch discipline); the vectorized uint64 sibling for the
+    100-TB path is ``winnowing_fast_batch``."""
+    import hashlib
+
+    ids_in = batch.column(id_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    texts = batch.column(text_col).to_pylist()
+    cache: dict[str, str] = {}
+    out_ids: list[np.ndarray] = []
+    out_pos: list[np.ndarray] = []
+    out_fp: list[np.ndarray] = []
+    for did, t in zip(ids_in, texts):
+        t = t or ""
+        n = max(len(t) - k + 1, 1)
+        hs = np.empty(n, dtype="<U32")
+        for i in range(n):
+            g = t[i : i + k]
+            hv = cache.get(g)
+            if hv is None:
+                hv = cache[g] = hashlib.md5(g.encode("utf-8")).hexdigest()
+            hs[i] = hv
+        sel = _winnow_positions(hs, w)
+        out_ids.append(np.full(sel.size, did, dtype=np.int64))
+        out_pos.append(sel + 1)
+        out_fp.append(hs[sel])
+    return pa.table({
+        id_col: pa.array(np.concatenate(out_ids) if out_ids
+                         else np.zeros(0, np.int64), pa.int64()),
+        "pos": pa.array(np.concatenate(out_pos) if out_pos
+                        else np.zeros(0, np.int64), pa.int64()),
+        "fp": pa.array(np.concatenate(out_fp).tolist() if out_fp else [],
+                       pa.string()),
+    })
+
+
+def winnowing_fast_batch(batch: pa.Table, *, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 8, w: int = 4
+                         ) -> pa.Table:
+    """uint64 rolling-hash winnowing — the vectorized scale sibling of
+    ``winnowing_batch`` (no SQL twin; the winnowing coverage guarantee and
+    determinism are pytest-pinned).  Same selection rule, same positional
+    contract; hashes are the polynomial rolling scheme of
+    functions/hashing.py (per-position, NOT deduplicated) mixed through
+    ``hash_u64_array``, emitted masked to non-negative int64 like the other
+    fast-hash columns."""
+    from ..functions.hashing import hash_u64_array, stable_hash_u64
+
+    ids_in = batch.column(id_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    texts = batch.column(text_col).to_pylist()
+    p = np.uint64(1099511628211)
+    out_ids: list[np.ndarray] = []
+    out_pos: list[np.ndarray] = []
+    out_fp: list[np.ndarray] = []
+    for did, t in zip(ids_in, texts):
+        t = t or ""
+        if len(t) < k:
+            hs = np.array([stable_hash_u64(t if t else "\x00")],
+                          dtype=np.uint64)
+        else:
+            cps = np.frombuffer(t.encode("utf-32-le"), dtype="<u4") \
+                .astype(np.uint64)
+            n = cps.size - k + 1
+            acc = np.zeros(n, dtype=np.uint64)
+            for off in range(k):  # k small; loop offsets, vector over rows
+                acc = acc * p + cps[off : off + n]
+            hs = hash_u64_array(acc, seed=0xC0FFEE)
+        sel = _winnow_positions(hs, w)
+        out_ids.append(np.full(sel.size, did, dtype=np.int64))
+        out_pos.append(sel + 1)
+        out_fp.append((hs[sel] & np.uint64(0x7FFFFFFFFFFFFFFF))
+                      .astype(np.int64))
+    return pa.table({
+        id_col: pa.array(np.concatenate(out_ids) if out_ids
+                         else np.zeros(0, np.int64), pa.int64()),
+        "pos": pa.array(np.concatenate(out_pos) if out_pos
+                        else np.zeros(0, np.int64), pa.int64()),
+        "fp": pa.array(np.concatenate(out_fp) if out_fp
+                       else np.zeros(0, np.int64), pa.int64()),
+    })

@@ -731,3 +731,79 @@ class TestProductQuantization:
 
         with pytest.raises(ValueError):
             pq_train_local(np.ones((10, 30)), m_subspaces=8)
+
+
+class TestWinnowingSelection:
+    """Pure selection-rule pins for stages/textstats.py::_winnow_positions."""
+
+    def test_rightmost_min_on_ties(self):
+        from post_ocr_corrector_ray.stages.textstats import _winnow_positions
+
+        h = np.array(["bb", "aa", "aa", "cc", "aa"], dtype="<U32")
+        # windows (w=3): [bb,aa,aa]->pos2  [aa,aa,cc]->pos2  [aa,cc,aa]->pos4
+        assert _winnow_positions(h, 3).tolist() == [2, 4]
+
+    def test_every_window_is_covered(self):
+        from post_ocr_corrector_ray.stages.textstats import _winnow_positions
+
+        rng = np.random.default_rng(7)
+        for _ in range(20):
+            n = int(rng.integers(1, 40))
+            w = int(rng.integers(1, 6))
+            h = rng.integers(0, 10, n).astype(np.uint64)
+            sel = _winnow_positions(h, w)
+            ww = min(w, n)
+            for start in range(n - ww + 1):
+                assert ((sel >= start) & (sel < start + ww)).any()
+            # every selected position is the minimum of at least one window
+            # that contains it
+            for p in sel:
+                starts = range(max(0, p - ww + 1), min(p, n - ww) + 1)
+                assert any(h[p] <= h[s : s + ww].min() for s in starts)
+
+    def test_short_doc_single_fingerprint(self):
+        from post_ocr_corrector_ray.stages.textstats import (
+            winnowing_batch, winnowing_fast_batch)
+
+        b = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["abc", ""], pa.string())})
+        for fn in (winnowing_batch, winnowing_fast_batch):
+            out = fn(b)
+            assert out.column("doc_id").to_pylist() == [1, 2]
+            assert out.column("pos").to_pylist() == [1, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKeepBestAndNovelty:
+    def test_keep_best_picks_max_score(self):
+        import ray.data
+
+        from post_ocr_corrector_ray.stages.components import near_dedup_by_score
+
+        docs = ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64())}))
+        pairs = ray.data.from_arrow(pa.table(
+            {"id_a": pa.array([1, 2, 4], pa.int64()),
+             "id_b": pa.array([2, 3, 5], pa.int64())}))
+        scores = ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+             "quality": pa.array([0.1, 0.9, 0.5, 0.7, 0.7, 0.0],
+                                 pa.float64())}))
+        kept = sorted(near_dedup_by_score(docs, pairs, scores)
+                      .to_pandas()["doc_id"].tolist())
+        # cluster {1,2,3} -> 2 (max quality); {4,5} tie -> 4 (min id); 6 untouched
+        assert kept == [2, 4, 6]
+
+    def test_novelty_ownership_and_short_docs(self, tmp_path):
+        from post_ocr_corrector_ray.pipelines.documents import doc_ngram_novelty
+
+        sf = _write_docs(tmp_path, [
+            (0, "a b c d e f"),   # grams "a b c d e","b c d e f" — both owned
+            (1, "a b c d e"),     # exactly 5 words -> one gram, owned by doc 0
+            (2, ""),              # empty -> one '' gram, owned
+        ])
+        got = doc_ngram_novelty(sf).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert got["n_grams"].tolist() == [2, 1, 1]
+        assert got["n_novel"].tolist() == [2, 0, 1]
+        assert got["novelty"].tolist() == [1.0, 0.0, 1.0]

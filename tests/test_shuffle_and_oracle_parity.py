@@ -101,6 +101,10 @@ class TestOracleParitySubset:
         "events_hourly",
         # per-language NTILE quality tiers (histogram-offset rank, no sort)
         "doc_quality_tiers",
+        # MOSS winnowing fingerprints (md5 oracle variant)
+        "doc_winnowing",
+        # keep-best-quality near-dup dedup + n-gram corpus novelty
+        "doc_dedup_keep_best", "doc_ngram_novelty",
     ])
     def test_query_matches_oracle(self, con, name):
         import __ray_entry__ as entry
