@@ -67,6 +67,35 @@ def _flagship(n_pages: int, batch_size: int = 8, concurrency=(2, 8)):
                               "corrected_text"])
 
 
+def _flagship_tiered(n_pages: int = 600, n: int = 3):
+    """Tier extraction end-to-end — the graft cell's namesake shape: stream
+    pages → DOM-heuristic boilerplate-strip extraction → per-language CCNet
+    quality tiers over the EXTRACTED text (stages/tiers.py::quality_tiers,
+    histogram-offset NTILE, url-keyed — no global or per-language sort).
+    Pages with no extractable content are excluded before scoring (nothing
+    to grade).  Rows-only driver check (the synthetic pages table is not a
+    DuckDB view); exactness is pytest-pinned against a single-process
+    extract + DuckDB-NTILE recompute (tests/test_new_ops_edges.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from post_ocr_corrector_ray.pipelines.extract_correct import extract_pipeline
+    from post_ocr_corrector_ray.stages.tiers import quality_tiers
+
+    ext = extract_pipeline(_synthetic_pages(n_pages))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.and_(
+            pc.is_valid(batch.column("extracted_text")),
+            pc.not_equal(batch.column("extracted_text"), "")))
+        return pa.table({"url": t.column("url"),
+                         "lang": t.column("lang"),
+                         "text": t.column("extracted_text")})
+
+    return quality_tiers(ext.map_batches(keep, batch_format="pyarrow"),
+                         id_col="url", n=n)
+
+
 def _flagship_dict_corpus(n_pages: int):
     """The committed extraction corpus shared by BOTH dictionary flagships
     (broadcast + joined): pages → extract → (url, clean), committed as a
@@ -321,7 +350,7 @@ _R5_NEW_PRIORITY: tuple = ("emb_pq_codes_incremental", "emb_ivfadc_topk",
                            "emb_ann_topk_multi",
                            "doc_bpe_token_counts", "doc_quality_tiers",
                            "doc_winnowing", "doc_dedup_keep_best",
-                           "doc_ngram_novelty")
+                           "doc_ngram_novelty", "doc_winnowing_dups")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -364,6 +393,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "flagship_dictionary": lambda sf: _flagship_dictionary(n_pages=300),
         "flagship_dictionary_joined":
             lambda sf: _flagship_dictionary_joined(n_pages=300),
+        # tier extraction end-to-end: extract → per-lang quality tiers over
+        # extracted text (rows-only; pytest-pinned vs DuckDB NTILE recompute)
+        "flagship_tiered": lambda sf: _flagship_tiered(n_pages=600),
         "doc_mutilate": D.doc_mutilate,
         "doc_null_corrector_cer": D.doc_null_corrector_cer,
         # reference text semantics with SQL twins
@@ -402,6 +434,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # twin + vectorized uint64 scale default (no-twin, pytest-pinned)
         "doc_winnowing": D.doc_winnowing,
         "doc_winnowing_fast": D.doc_winnowing_fast,
+        # MOSS near-dup pairs: exact Jaccard over winnowing fp sets
+        "doc_winnowing_dups": D.doc_winnowing_dups,
         # keep the best-quality member of each near-dup cluster (curation
         # twin of doc_dedup_near; score table joined, never broadcast)
         "doc_dedup_keep_best": D.doc_dedup_keep_best,
@@ -1559,6 +1593,41 @@ def oracle_sql() -> dict[str, str]:
               FROM wins w JOIN g ON g.doc_id = w.doc_id
                                 AND g.pos BETWEEN w.win AND w.win + 3)
             SELECT DISTINCT doc_id, pos, h AS fp FROM sel WHERE rn = 1""",
+        # MOSS near-dup pairs: exact Jaccard >= 0.5 over the winnowing
+        # fingerprint SETS (same selection CTE as doc_winnowing)
+        "doc_winnowing_dups": r"""
+            WITH g AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     md5(substr(text, CAST(i AS INTEGER), 8)) AS h
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+                    FROM documents)
+            ), n AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS ng
+              FROM g GROUP BY doc_id
+            ), wins AS (
+              SELECT doc_id, CAST(wi AS BIGINT) AS win
+              FROM (SELECT doc_id,
+                           unnest(generate_series(1, greatest(ng - 3, 1))) AS wi
+                    FROM n)
+            ), sel AS (
+              SELECT w.doc_id, g.pos, g.h,
+                     ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.win
+                                        ORDER BY g.h ASC, g.pos DESC) AS rn
+              FROM wins w JOIN g ON g.doc_id = w.doc_id
+                                AND g.pos BETWEEN w.win AND w.win + 3
+            ), fps AS (SELECT DISTINCT doc_id, h FROM sel WHERE rn = 1),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM fps GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+              FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) >= 0.5""",
         "doc_quality": f"""
             WITH s AS ({_TOKEN_STATS_SQL})
             SELECT doc_id, n_chars, n_words, n_punct, mean_word_len, stop_ratio,

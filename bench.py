@@ -157,6 +157,8 @@ def run_benchmarks() -> dict:
         "emb_ivfadc_topk_rerank", "emb_ivfadc_index_topk",
         "emb_ann_topk_filtered", "emb_ivfadc_topk_filtered",
         "emb_ann_topk_multi", "doc_bpe_token_counts",
+        "doc_winnowing", "doc_winnowing_fast", "doc_dedup_keep_best",
+        "doc_ngram_novelty", "flagship_tiered",
         "flagship_dictionary_joined",
     ]
     # Each query is timed as the best of two consecutive runs: the first

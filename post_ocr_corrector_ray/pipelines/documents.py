@@ -220,6 +220,15 @@ def doc_winnowing_fast(sf_dir: str) -> ray.data.Dataset:
         ts.winnowing_fast_batch, batch_format="pyarrow")
 
 
+def doc_winnowing_dups(sf_dir: str) -> ray.data.Dataset:
+    """MOSS near-dup pairs: exact Jaccard ≥ 0.5 over winnowing fingerprint
+    sets (fp-keyed pair exchange + pair-keyed count sum + co-partitioned
+    size joins — stages/dedup.py::winnowing_jaccard_pairs).  Exact SQL
+    twin; the 4th candidate-generation family next to MinHash bands,
+    SimHash bands and IVF buckets."""
+    return dd.winnowing_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def doc_token_count_bpe(sf_dir: str) -> ray.data.Dataset:
     """BPE-ish + whitespace token counts (training-budget pass; SQL twin)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -1105,78 +1114,14 @@ def doc_quality_tiers(sf_dir: str, n: int = 3) -> ray.data.Dataset:
     composite from stages/textstats.py::quality_score_batch standing in for
     the LM-perplexity score this container can't train).
 
-    Distributed without a global OR per-language sort (a language is a giant
-    key at 100 TB — one group per task would not fit): the float64 score maps
-    to its IEEE-754 bit pattern (order-isomorphic int64 for the non-negative
-    scores this formula emits), a (lang, value) histogram gives every score
-    group its per-language base offset (tiny driver cumsum over DISTINCT
-    (lang, value) pairs — global_rank's bounded-domain contract; quantize the
-    score first if its distinct-value count is unbounded), and ONE
-    (lang, value)-keyed exchange finishes rank and tier in closed form with
-    the exact SQL NTILE size rule (doc_length_ntile's bucketize, per
-    language).  The broadcast side is offsets + per-language totals, shipped
-    once via ``ray.put``."""
-    import pandas as pd
-    import ray
+    Implementation (histogram-offset rank, no global or per-language sort —
+    a language is a giant key at 100 TB) lives in stages/tiers.py::
+    quality_tiers, shared with the flagship extraction-output tiering
+    (flagship_tiered); this wrapper binds it to the documents table."""
+    from ..stages.tiers import quality_tiers
 
-    from ..stages.components import _pin
-    from ..stages.shuffle import grouped_agg, grouped_apply
-
-    def project(batch: pa.Table) -> pa.Table:
-        q = ts.quality_score_batch(batch.select(["doc_id", "text"]))
-        qual = q.column("quality").to_numpy()
-        return pa.table({"doc_id": q.column("doc_id"),
-                         "lang": batch.column("lang"),
-                         "quality": q.column("quality"),
-                         # IEEE bits: order-isomorphic int64 exchange key
-                         "value": pa.array(qual.view(np.int64), pa.int64())})
-
-    from ..stages.shuffle import partitions_for
-
-    # pinned because it is consumed twice (histogram pass + rank pass) and
-    # the text column is already projected away — 4 narrow columns spill fine
-    docs = _pin(_docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
-        project, batch_format="pyarrow"), partitions_for())
-
-    def partial(batch: pa.Table) -> pa.Table:
-        g = (pd.DataFrame({"lang": batch.column("lang").to_pandas(),
-                           "value": batch.column("value").to_numpy()})
-             .groupby(["lang", "value"], as_index=False).size()
-             .rename(columns={"size": "cnt"}))
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    hist = grouped_agg(docs.map_batches(partial, batch_format="pyarrow"),
-                       ["lang", "value"], {"cnt": ("cnt", "sum")})
-    parts = list(hist.iter_batches(batch_size=65536, batch_format="pandas"))
-    merged = (pd.concat(parts).groupby(["lang", "value"], as_index=False)
-              ["cnt"].sum().sort_values(["lang", "value"])) if parts else \
-        pd.DataFrame({"lang": pd.Series([], dtype=object),
-                      "value": pd.Series([], dtype=np.int64),
-                      "cnt": pd.Series([], dtype=np.int64)})
-    merged["off"] = (merged.groupby("lang")["cnt"].cumsum()
-                     - merged["cnt"]).to_numpy(np.int64)
-    totals = (merged.groupby("lang", as_index=False)["cnt"].sum()
-              .rename(columns={"cnt": "t"}))
-    base_ref = ray.put(merged[["lang", "value", "off"]].merge(totals,
-                                                              on="lang"))
-
-    def tier_part(df: pd.DataFrame) -> pd.DataFrame:
-        b = ray.get(base_ref)
-        df = df.sort_values(["lang", "value", "doc_id"])
-        pos = df.groupby(["lang", "value"]).cumcount().to_numpy(np.int64)
-        m = df.merge(b, on=["lang", "value"], how="left")  # keeps left order
-        rank = m["off"].to_numpy(np.int64) + pos + 1
-        t = m["t"].to_numpy(np.int64)
-        q_, r_ = np.divmod(t, n)
-        tier = np.where(rank <= r_ * (q_ + 1),
-                        (rank - 1) // (q_ + 1),
-                        r_ + (rank - 1 - r_ * (q_ + 1))
-                        // np.maximum(q_, 1)) + 1
-        out = df[["doc_id", "lang", "quality"]].copy()
-        out["tier"] = tier.astype(np.int64)
-        return out
-
-    return grouped_apply(docs, ["lang", "value"], tier_part)
+    return quality_tiers(_docs(sf_dir, ["doc_id", "text", "lang"]),
+                         id_col="doc_id", n=n)
 
 
 def doc_bigram_pmi(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:

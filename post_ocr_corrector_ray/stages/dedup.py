@@ -582,3 +582,136 @@ def hash64_candidates(sigs: ray.data.Dataset, *, id_col: str = "doc_id",
         return out.filter(pc.less_equal(out.column("hamming"), max_hamming))
 
     return cand.map_batches(hamming_filter, batch_format="pyarrow")
+
+
+
+
+def jaccard_from_md5_sets(a: bytes, b: bytes) -> float:
+    """Exact Jaccard between two sorted-unique sets of 16-byte md5 digests
+    (the winnowing fingerprint payloads)."""
+    xa = np.frombuffer(a, dtype="S16")
+    xb = np.frombuffer(b, dtype="S16")
+    ix = np.intersect1d(xa, xb, assume_unique=True).size
+    return ix / (xa.size + xb.size - ix)
+
+
+def winnowing_jaccard_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 8, w: int = 4,
+                            threshold: float = 0.5,
+                            num_partitions: int = _PAIR_PARTITIONS
+                            ) -> ray.data.Dataset:
+    """MOSS-style near-duplicate pairs over winnowing fingerprint SETS:
+    exact Jaccard ≥ ``threshold`` between each pair of documents' distinct
+    selected fingerprints (stages/textstats.py::winnowing_batch — md5, so
+    the SQL twin computes the identical set).
+
+    EXACT without the quadratic boilerplate blowup, via prefix filtering
+    (Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
+    WWW 2007): order every document's fingerprints rare-first by global
+    document frequency (one fp-keyed count exchange), keep only the first
+    ``|set| - ceil(t*|set|) + 1`` as the candidate-generating prefix — the
+    prefix-filter lemma guarantees any pair with overlap ≥ ceil(t*max) ≥
+    ceil(t*|set|) collides inside the prefixes, so no qualifying pair is
+    missed — and generate candidates only where PREFIXES share a
+    fingerprint.  Ubiquitous boilerplate fingerprints sort last and never
+    enter a prefix, so hot buckets vanish.  Candidates (duplicates allowed)
+    are then scored exactly on the FULL fingerprint sets through the
+    distributed payload-join verify (``verify_pairs_payload`` — dedupes per
+    pair, never ships the corpus to the driver).
+
+    Exchanges: fp-count, df→fps join, doc-keyed prefix cut, fp-keyed
+    prefix pair generation, candidate dedup, and the two verify shuffles —
+    all coarse hash-partitioned; per-doc fingerprint sets and payloads are
+    batch-local (a document's winnowing rows never span batches).
+
+    Corpus-density note: on the synthetic bench corpus every document
+    draws from one ~40-word vocabulary, so fingerprint-set background
+    Jaccard sits just below the 0.5 threshold and the prefix filter can
+    only thin, not eliminate, the candidate set (~7.7M candidates for 256
+    true pairs at sf0.1 → wall time is verify-bound there).  On real
+    webtext — the workload this operator models — background fingerprint
+    overlap is near zero, candidates ≈ true duplicates, and the
+    payload-verify volume is proportional to actual dup mass."""
+    import math
+
+    import pandas as pd
+
+    from .joins import hash_join
+    from .shuffle import grouped_agg, grouped_apply
+    from .textstats import winnowing_batch
+
+    def fp_sets(batch: pa.Table) -> pa.Table:
+        sel = winnowing_batch(batch, text_col=text_col, id_col=id_col,
+                              k=k, w=w)
+        df = sel.select([id_col, "fp"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    fps = ds.map_batches(fp_sets, batch_format="pyarrow")
+
+    def payload_rows(batch: pa.Table) -> pa.Table:
+        sel = winnowing_batch(batch, text_col=text_col, id_col=id_col,
+                              k=k, w=w)
+        df = sel.select([id_col, "fp"]).to_pandas().drop_duplicates()
+        ids, sigs = [], []
+        for did, grp in df.groupby(id_col):
+            raw = sorted(bytes.fromhex(h) for h in grp["fp"])
+            ids.append(int(did))
+            sigs.append(b"".join(raw))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "sig": pa.array(sigs, pa.binary())})
+
+    payloads = ds.map_batches(payload_rows, batch_format="pyarrow")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.to_pandas().groupby("fp", as_index=False).size()
+        return pa.table({"fp": pa.array(g["fp"], pa.string()),
+                         "c": pa.array(g["size"].to_numpy(), pa.int64())})
+
+    dfreq = grouped_agg(fps.map_batches(count_partial, batch_format="pyarrow"),
+                        ["fp"], {"df": ("c", "sum")},
+                        num_partitions=num_partitions)
+    joined = hash_join(fps, dfreq, on="fp", num_partitions=num_partitions)
+
+    def prefixes(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"fp": pd.Series([], dtype=object),
+                                 id_col: pd.Series([], dtype="int64")})
+        df = df.sort_values([id_col, "df", "fp"], kind="mergesort")
+        sz = df.groupby(id_col)[id_col].transform("size").to_numpy()
+        pos = df.groupby(id_col).cumcount().to_numpy()
+        plen = sz - np.ceil(threshold * sz).astype(np.int64) + 1
+        out = df.loc[pos < plen, ["fp", id_col]]
+        return out.astype({id_col: "int64"})
+
+    pref = grouped_apply(joined, [id_col], prefixes,
+                         num_partitions=num_partitions)
+
+    def pairs_in_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
+        if df.empty:
+            return empty
+        m = df.merge(df, on="fp")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        if m.empty:
+            return empty
+        g = m[[f"{id_col}_x", f"{id_col}_y"]].drop_duplicates()
+        return pd.DataFrame({"id_a": g[f"{id_col}_x"].astype("int64"),
+                             "id_b": g[f"{id_col}_y"].astype("int64")})
+
+    cand = grouped_apply(pref, ["fp"], pairs_in_partition,
+                         num_partitions=num_partitions)
+    # global dedup before the verify: the same pair arises once per shared
+    # prefix fingerprint (different fps land in different partitions, so the
+    # per-partition drop_duplicates above cannot see them); one cheap int64
+    # exchange here divides the verify's payload-carrying row volume by the
+    # mean prefix-overlap multiplicity (~2.6x on the bench corpus)
+    distinct_pairs = grouped_agg(
+        cand.map_batches(lambda b: b.append_column(
+            "one", pa.array(np.ones(b.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["id_a", "id_b"], {"n_shared_prefix": ("one", "sum")},
+        num_partitions=num_partitions)
+    return verify_pairs_payload(distinct_pairs, payloads, id_col=id_col,
+                                score_fn=jaccard_from_md5_sets,
+                                threshold=threshold, out_col="jaccard")

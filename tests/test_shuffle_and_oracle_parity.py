@@ -101,8 +101,9 @@ class TestOracleParitySubset:
         "events_hourly",
         # per-language NTILE quality tiers (histogram-offset rank, no sort)
         "doc_quality_tiers",
-        # MOSS winnowing fingerprints (md5 oracle variant)
-        "doc_winnowing",
+        # MOSS winnowing fingerprints (md5 oracle variant) + exact
+        # prefix-filtered fingerprint-set Jaccard pairs
+        "doc_winnowing", "doc_winnowing_dups",
         # keep-best-quality near-dup dedup + n-gram corpus novelty
         "doc_dedup_keep_best", "doc_ngram_novelty",
     ])
