@@ -541,6 +541,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "events_sessions": lambda sf: R.events_sessions(sf),
         "events_user_rolling": lambda sf: R.events_user_rolling(sf),
         "events_value_lag": R.events_value_lag,
+        # LEAD window twin + INTERSECT/EXCEPT set-operation shape
+        "events_value_lead": R.events_value_lead,
+        "events_users_intersect": R.events_users_intersect,
         "events_asof_orders": R.events_asof_orders,
         # forward as-of twin (next order at-or-after the event)
         "events_asof_next_order": R.events_asof_next_order,
@@ -1850,6 +1853,24 @@ def oracle_sql() -> dict[str, str]:
                       OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 100.0
                    AS value_delta
             FROM events""",
+        "events_value_lead": """
+            SELECT event_id, user_id,
+                   (lead(CAST(round(value * 100) AS BIGINT))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    - CAST(round(value * 100) AS BIGINT)) / 100.0
+                   AS value_delta
+            FROM events""",
+        # INTERSECT of high-value click/purchase user sets EXCEPT the
+        # severe-error user set
+        "events_users_intersect": """
+            SELECT user_id FROM events
+            WHERE event_type = 'click' AND value >= 50
+            INTERSECT
+            SELECT user_id FROM events
+            WHERE event_type = 'purchase' AND value >= 50
+            EXCEPT
+            SELECT user_id FROM events
+            WHERE event_type = 'error' AND value >= 80""",
         "events_sessions": """
             WITH marks AS (
               SELECT user_id,

@@ -108,7 +108,8 @@ def run_benchmarks() -> dict:
         "doc_ngram_jaccard_pairs", "emb_ann_topk", "emb_nn_join",
         "emb_cosine_dups", "emb_cosine_dups_bucketed", "doc_langid",
         "doc_fingerprint", "doc_token_count_bpe", "doc_scrub_pii",
-        "events_user_rolling", "events_value_lag", "training_feed",
+        "events_user_rolling", "events_value_lag", "events_value_lead",
+        "events_users_intersect", "training_feed",
         "dictionary_sweep", "doc_null_corrector_cer",
         "events_asof_orders", "orders_event_window_counts",
         "orders_topk_per_customer", "doc_length_quantiles",

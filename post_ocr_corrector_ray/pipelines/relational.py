@@ -228,6 +228,78 @@ def events_value_lag(sf_dir: str) -> ray.data.Dataset:
     return grouped_apply(ds, ["user_id"], lag_delta)
 
 
+def events_value_lead(sf_dir: str) -> ray.data.Dataset:
+    """Per-event delta vs the user's NEXT event value (LEAD window — the
+    forward twin of events_value_lag): same ONE user-keyed exchange, the
+    shift runs backward.  Last event per user has a NULL delta (SQL LEAD
+    semantics).  Exact-cents arithmetic so the doubles match the oracle
+    bitwise."""
+    from ..stages.shuffle import grouped_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def lead_delta(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "value_delta": pd.Series([], dtype="float64")})
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        nxt = pd.Series(cents).shift(-1)
+        last_of_user = (df["user_id"] != df["user_id"].shift(-1)).to_numpy()
+        delta = (nxt.to_numpy() - cents) / 100.0
+        delta[last_of_user] = np.nan
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "user_id": df["user_id"].to_numpy(),
+                             "value_delta": delta})
+
+    return grouped_apply(ds, ["user_id"], lead_delta)
+
+
+def events_users_intersect(sf_dir: str) -> ray.data.Dataset:
+    """Set-operation shape (INTERSECT / EXCEPT): users with BOTH a
+    high-value click (value ≥ 50) and a high-value purchase (value ≥ 50)
+    and NO severe error (error with value ≥ 80).  Per-batch boolean
+    partials pre-aggregate per user before ONE user-keyed max exchange —
+    three int flags per user per batch travel, never raw events.  (The
+    bench table has few heavy users, so un-thresholded membership would be
+    all-or-nothing; the value cuts make the three sets discriminative.)"""
+    from ..stages.shuffle import grouped_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "t": batch.column("event_type").to_pandas(),
+            "v": batch.column("value").to_numpy(zero_copy_only=False)})
+        g = df.assign(
+            has_click=((df["t"] == "click") & (df["v"] >= 50.0))
+            .astype(np.int64),
+            has_purchase=((df["t"] == "purchase") & (df["v"] >= 50.0))
+            .astype(np.int64),
+            has_error=((df["t"] == "error") & (df["v"] >= 80.0))
+            .astype(np.int64),
+        ).groupby("user_id", as_index=False)[
+            ["has_click", "has_purchase", "has_error"]].max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = grouped_agg(ds.map_batches(flags, batch_format="pyarrow"),
+                      ["user_id"], {"c": ("has_click", "max"),
+                                    "p": ("has_purchase", "max"),
+                                    "e": ("has_error", "max")})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.equal(batch.column("c"), 1),
+                               pc.equal(batch.column("p"), 1)),
+                       pc.equal(batch.column("e"), 0))
+        return pa.table({"user_id":
+                         batch.filter(keep).column("user_id").cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def parts_by_brand(sf_dir: str) -> pa.Table:
     """Part stats per brand: count, total retail (exact cents), avg size."""
     ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])

@@ -104,6 +104,8 @@ class TestOracleParitySubset:
         # MOSS winnowing fingerprints (md5 oracle variant) + exact
         # prefix-filtered fingerprint-set Jaccard pairs
         "doc_winnowing", "doc_winnowing_dups",
+        # LEAD window twin + INTERSECT/EXCEPT set-operation shape
+        "events_value_lead", "events_users_intersect",
         # keep-best-quality near-dup dedup + n-gram corpus novelty
         "doc_dedup_keep_best", "doc_ngram_novelty",
     ])
