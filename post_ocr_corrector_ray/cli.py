@@ -160,6 +160,24 @@ def main(argv: list[str] | None = None) -> int:
                         "OUT_DIR inherits a copy so it can serve as "
                         "--against for the next wave")
 
+    s = sub.add_parser("tiers",
+                       help="pages (extract first) or documents parquet → "
+                            "per-language CCNet quality tiers over the text "
+                            "→ resumable committed store partitioned by "
+                            "(lang, tier) — the tier-extraction pipeline "
+                            "as a user-facing artifact")
+    s.add_argument("input"); s.add_argument("out_dir")
+    s.add_argument("--mode", choices=["pages", "documents"], default="pages",
+                   help="pages: DOM-heuristic extraction feeds the scorer; "
+                        "documents: score the text column directly")
+    s.add_argument("--id-col", default=None,
+                   help="default: url (pages) / doc_id (documents)")
+    s.add_argument("--lang-col", default="lang")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--tiers", type=int, default=3)
+    s.add_argument("--partitions", type=int, default=32)
+    s.add_argument("--no-resume", action="store_true")
+
     args = p.parse_args(argv)
 
     if args.cmd == "convert-ckpt":
@@ -254,6 +272,53 @@ def main(argv: list[str] | None = None) -> int:
                 key_col=args.key_col, num_partitions=args.partitions,
                 data_format=args.data_format,
                 input_fingerprint=fingerprint_inputs(args.parquet)).to_pandas()
+            print(json.dumps({"partitions_committed": len(summary),
+                              "rows": int(summary["n_rows"].sum()) if len(summary) else 0}))
+        elif args.cmd == "tiers":
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            from .stages.tiers import quality_tiers
+            from .state.lineage import commit_by_key, fingerprint_inputs
+
+            if args.mode == "pages":
+                from .pipelines.extract_correct import extract_pipeline
+
+                id_col = args.id_col or "url"
+                ext = extract_pipeline(ray.data.read_parquet(args.input))
+
+                def keep(batch: pa.Table) -> pa.Table:
+                    t = batch.filter(pc.and_(
+                        pc.is_valid(batch.column("extracted_text")),
+                        pc.not_equal(batch.column("extracted_text"), "")))
+                    return pa.table({id_col: t.column(id_col),
+                                     args.lang_col: t.column(args.lang_col),
+                                     "text": t.column("extracted_text")})
+
+                ds = ext.map_batches(keep, batch_format="pyarrow")
+            else:
+                id_col = args.id_col or "doc_id"
+                ds = ray.data.read_parquet(
+                    args.input, columns=[id_col, args.lang_col, args.text_col])
+                if args.text_col != "text":
+                    ds = ds.map_batches(lambda b: b.rename_columns(
+                        ["text" if n == args.text_col else n
+                         for n in b.column_names]), batch_format="pyarrow")
+
+            tiers = quality_tiers(ds, id_col=id_col, lang_col=args.lang_col,
+                                  n=args.tiers)
+
+            def with_key(batch: pa.Table) -> pa.Table:
+                key = pc.binary_join_element_wise(
+                    batch.column(args.lang_col).cast(pa.string()),
+                    pc.cast(batch.column("tier"), pa.string()), "/tier-")
+                return batch.append_column("lang_tier", key)
+
+            summary = commit_by_key(
+                tiers.map_batches(with_key, batch_format="pyarrow"),
+                args.out_dir, key_col="lang_tier",
+                num_partitions=args.partitions, resume=not args.no_resume,
+                input_fingerprint=fingerprint_inputs(args.input)).to_pandas()
             print(json.dumps({"partitions_committed": len(summary),
                               "rows": int(summary["n_rows"].sum()) if len(summary) else 0}))
         elif args.cmd == "dedup":

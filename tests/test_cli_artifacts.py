@@ -296,3 +296,58 @@ class TestCli:
                             capture_output=True, text=True, cwd="/root/repo")
         assert r2.returncode == 0, r2.stderr[-500:]
         assert json.loads(r2.stdout.strip().splitlines()[-1])["rows"] == 30
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTiersCli:
+    def test_tiers_pages_e2e_and_resume(self, tmp_path, capsys):
+        """pages → extract → per-lang tiers → committed (lang, tier) store;
+        a second identical run resumes (0 partitions re-committed); tier
+        values match the library flagship composition."""
+        import __ray_entry__ as entry
+        from post_ocr_corrector_ray.cli import main
+        from post_ocr_corrector_ray.state.lineage import read_output
+
+        pages = str(tmp_path / "pages.parquet")
+        assert main(["synth", pages, "--n", "600"]) == 0
+        out = str(tmp_path / "tiers_store")
+        assert main(["tiers", pages, out, "--partitions", "8"]) == 0
+        first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert first["partitions_committed"] > 0 and first["rows"] > 500
+
+        got = read_output(out).to_pandas().sort_values("url") \
+            .reset_index(drop=True)
+        assert set(got["tier"].unique()) == {1, 2, 3}
+        # composite partition key is (lang, tier)
+        assert (got["lang_tier"] ==
+                got["lang"] + "/tier-" + got["tier"].astype(str)).all()
+        want = entry.queries()["flagship_tiered"]("unused").to_pandas() \
+            .sort_values("url").reset_index(drop=True)
+        import pandas as pd
+        pd.testing.assert_frame_equal(
+            got[["url", "lang", "quality", "tier"]], want,
+            check_dtype=False, check_exact=True)
+
+        # resume: nothing re-commits
+        assert main(["tiers", pages, out, "--partitions", "8"]) == 0
+        second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert second["partitions_committed"] == 0
+
+    def test_tiers_documents_mode_matches_pipeline(self, tmp_path, capsys):
+        import __ray_entry__ as entry
+        from post_ocr_corrector_ray.cli import main
+        from post_ocr_corrector_ray.state.lineage import read_output
+
+        out = str(tmp_path / "doc_tiers")
+        assert main(["tiers", "/root/testdata/sf0.001/documents.parquet",
+                     out, "--mode", "documents", "--partitions", "4"]) == 0
+        capsys.readouterr()
+        got = read_output(out).to_pandas().sort_values("doc_id") \
+            .reset_index(drop=True)
+        want = entry.queries()["doc_quality_tiers"]("/root/testdata/sf0.001") \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        import pandas as pd
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "lang", "quality", "tier"]],
+            want[["doc_id", "lang", "quality", "tier"]],
+            check_dtype=False, check_exact=True)
