@@ -175,6 +175,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--lang-col", default="lang")
     s.add_argument("--text-col", default="text")
     s.add_argument("--tiers", type=int, default=3)
+    s.add_argument("--shards-per-tier", type=int, default=4,
+                   help="id-hash sub-shards inside each (lang, tier) slice — "
+                        "without them a 100-TB corpus would cap at "
+                        "n_langs x n_tiers giant partitions; shard count is "
+                        "the resume/commit granularity per slice")
     s.add_argument("--partitions", type=int, default=32)
     s.add_argument("--no-resume", action="store_true")
 
@@ -308,10 +313,20 @@ def main(argv: list[str] | None = None) -> int:
             tiers = quality_tiers(ds, id_col=id_col, lang_col=args.lang_col,
                                   n=args.tiers)
 
+            from .functions.hashing import polyhash_u64_array
+
             def with_key(batch: pa.Table) -> pa.Table:
+                import numpy as np
+
                 key = pc.binary_join_element_wise(
                     batch.column(args.lang_col).cast(pa.string()),
                     pc.cast(batch.column("tier"), pa.string()), "/tier-")
+                shard = (polyhash_u64_array(
+                    batch.column(id_col).cast(pa.string()).combine_chunks())
+                    % np.uint64(max(args.shards_per_tier, 1))).astype(np.int64)
+                key = pc.binary_join_element_wise(
+                    key, pc.cast(pa.array(shard, pa.int64()), pa.string()),
+                    "/s")
                 return batch.append_column("lang_tier", key)
 
             summary = commit_by_key(

@@ -318,9 +318,13 @@ class TestTiersCli:
         got = read_output(out).to_pandas().sort_values("url") \
             .reset_index(drop=True)
         assert set(got["tier"].unique()) == {1, 2, 3}
-        # composite partition key is (lang, tier)
-        assert (got["lang_tier"] ==
-                got["lang"] + "/tier-" + got["tier"].astype(str)).all()
+        # composite partition key is (lang, tier, id-hash shard)
+        assert got["lang_tier"].str.match(r"^[a-z]+/tier-[123]/s[0-3]$").all()
+        prefix = got["lang_tier"].str.rsplit("/s", n=1).str[0]
+        assert (prefix == got["lang"] + "/tier-"
+                + got["tier"].astype(str)).all()
+        # sub-sharding actually splits tiers (the 100-TB partition-count fix)
+        assert got["lang_tier"].nunique() > got["lang"].nunique() * 3
         want = entry.queries()["flagship_tiered"]("unused").to_pandas() \
             .sort_values("url").reset_index(drop=True)
         import pandas as pd
