@@ -544,6 +544,11 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         # LEAD window twin + INTERSECT/EXCEPT set-operation shape
         "events_value_lead": R.events_value_lead,
         "events_users_intersect": R.events_users_intersect,
+        # FIRST_VALUE anchor, hot-key DENSE_RANK and CUME_DIST via the
+        # distinct-domain histogram broadcast (no per-hot-key sort)
+        "events_first_value": R.events_first_value,
+        "orders_price_dense_rank": R.orders_price_dense_rank,
+        "events_value_cume_dist": R.events_value_cume_dist,
         "events_asof_orders": R.events_asof_orders,
         # forward as-of twin (next order at-or-after the event)
         "events_asof_next_order": R.events_asof_next_order,
@@ -1859,6 +1864,23 @@ def oracle_sql() -> dict[str, str]:
                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
                     - CAST(round(value * 100) AS BIGINT)) / 100.0
                    AS value_delta
+            FROM events""",
+        "events_first_value": """
+            SELECT event_id, user_id,
+                   FIRST_VALUE(value) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                       AS first_value
+            FROM events""",
+        "orders_price_dense_rank": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                           ORDER BY o_totalprice DESC)
+                        AS BIGINT) AS price_rank
+            FROM orders""",
+        "events_value_cume_dist": """
+            SELECT event_id, event_type,
+                   CUME_DIST() OVER (PARTITION BY event_type ORDER BY value)
+                       AS cd
             FROM events""",
         # INTERSECT of high-value click/purchase user sets EXCEPT the
         # severe-error user set

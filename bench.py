@@ -109,7 +109,8 @@ def run_benchmarks() -> dict:
         "emb_cosine_dups", "emb_cosine_dups_bucketed", "doc_langid",
         "doc_fingerprint", "doc_token_count_bpe", "doc_scrub_pii",
         "events_user_rolling", "events_value_lag", "events_value_lead",
-        "events_users_intersect", "training_feed",
+        "events_users_intersect", "events_first_value",
+        "orders_price_dense_rank", "events_value_cume_dist", "training_feed",
         "dictionary_sweep", "doc_null_corrector_cer",
         "events_asof_orders", "orders_event_window_counts",
         "orders_topk_per_customer", "doc_length_quantiles",

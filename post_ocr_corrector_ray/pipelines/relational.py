@@ -877,6 +877,137 @@ def events_latest_per_user(sf_dir: str) -> ray.data.Dataset:
     return grouped_apply(partials, ["user_id"], local_latest)
 
 
+def events_first_value(sf_dir: str) -> ray.data.Dataset:
+    """FIRST_VALUE window: every event carries its user's first event value
+    (min ts, tie → min event_id) — the session-anchor shape.  Same ONE
+    user-keyed exchange as the rolling/lag family; the first value fans out
+    to the group with a vectorized transform."""
+    from ..stages.shuffle import grouped_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def fv(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "first_value": pd.Series([], dtype="float64")})
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        first = df.groupby("user_id")["value"].transform("first")
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "user_id": df["user_id"].to_numpy(),
+                             "first_value": first.to_numpy()})
+
+    return grouped_apply(ds, ["user_id"], fv)
+
+
+def orders_price_dense_rank(sf_dir: str) -> ray.data.Dataset:
+    """DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+    DESC) without a per-priority sort: a priority is a HOT key (5 distinct
+    values — one group per task would funnel the table into 5 workers), but
+    dense rank depends only on the DISTINCT (priority, price) pairs.
+    Per-batch distinct partials cross one tiny exchange, the driver sorts
+    the distinct pairs once and broadcasts {(priority, price): rank} via
+    ``ray.put`` (bounded-domain contract shared with quality_tiers /
+    global_rank: quantize the price first if its distinct count is
+    unbounded), and the attach pass is exchange-free."""
+    import ray
+
+    from ..stages.shuffle import grouped_agg
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "p": batch.column("o_orderpriority").to_pandas(),
+            "v": batch.column("o_totalprice").to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        df["one"] = np.int64(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    dist = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["p", "v"], {"c": ("one", "max")})
+    parts = list(dist.iter_batches(batch_size=65536, batch_format="pandas"))
+    merged = (pd.concat(parts)[["p", "v"]].drop_duplicates()
+              .sort_values(["p", "v"], ascending=[True, False])) if parts else \
+        pd.DataFrame({"p": pd.Series([], dtype=object),
+                      "v": pd.Series([], dtype="float64")})
+    merged["rank"] = (merged.groupby("p").cumcount() + 1).astype(np.int64)
+    rank_ref = ray.put(merged)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        b = ray.get(rank_ref)
+        df = pd.DataFrame({
+            "o_orderkey": batch.column("o_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "p": batch.column("o_orderpriority").to_pandas(),
+            "v": batch.column("o_totalprice").to_numpy(zero_copy_only=False),
+        })
+        m = df.merge(b, on=["p", "v"], how="left")
+        return pa.table({
+            "o_orderkey": pa.array(m["o_orderkey"].to_numpy(), pa.int64()),
+            "o_orderpriority": pa.array(m["p"], pa.string()),
+            "price_rank": pa.array(m["rank"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def events_value_cume_dist(sf_dir: str) -> ray.data.Dataset:
+    """CUME_DIST() OVER (PARTITION BY event_type ORDER BY value) without a
+    per-type sort (event_type is a 5-value hot key): a (type, value)
+    histogram crosses one tiny exchange, the driver takes the inclusive
+    cumsum per type once and broadcasts {(type, value): rows_le, total};
+    cume_dist evaluates per batch as one exact int64 division — identical
+    IEEE op to the SQL.  Same bounded-distinct-domain contract as
+    quality_tiers."""
+    import ray
+
+    from ..stages.shuffle import grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "t": batch.column("event_type").to_pandas(),
+            "v": batch.column("value").to_numpy(zero_copy_only=False),
+        }).groupby(["t", "v"], as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["t", "v"], {"cnt": ("cnt", "sum")})
+    parts = list(hist.iter_batches(batch_size=65536, batch_format="pandas"))
+    merged = (pd.concat(parts).groupby(["t", "v"], as_index=False)
+              ["cnt"].sum().sort_values(["t", "v"])) if parts else \
+        pd.DataFrame({"t": pd.Series([], dtype=object),
+                      "v": pd.Series([], dtype="float64"),
+                      "cnt": pd.Series([], dtype="int64")})
+    merged["le"] = merged.groupby("t")["cnt"].cumsum().astype(np.int64)
+    totals = merged.groupby("t")["cnt"].sum().rename("total")
+    merged = merged.merge(totals, left_on="t", right_index=True)
+    cd_ref = ray.put(merged[["t", "v", "le", "total"]])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        b = ray.get(cd_ref)
+        df = pd.DataFrame({
+            "event_id": batch.column("event_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "t": batch.column("event_type").to_pandas(),
+            "v": batch.column("value").to_numpy(zero_copy_only=False),
+        })
+        m = df.merge(b, on=["t", "v"], how="left")
+        cd = m["le"].to_numpy(np.int64) * 1.0 / m["total"].to_numpy(np.int64)
+        return pa.table({
+            "event_id": pa.array(m["event_id"].to_numpy(), pa.int64()),
+            "event_type": pa.array(m["t"], pa.string()),
+            "cd": pa.array(cd, pa.float64()),
+        })
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
 def events_value_histogram(sf_dir: str, width: float = 10.0) -> pa.Table:
     """Fixed-width value histogram (bin = floor(value / width)) — the data
     profiling shape: bins pre-combine per batch, ONE tiny groupby, both

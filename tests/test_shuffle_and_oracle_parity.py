@@ -106,6 +106,9 @@ class TestOracleParitySubset:
         "doc_winnowing", "doc_winnowing_dups",
         # LEAD window twin + INTERSECT/EXCEPT set-operation shape
         "events_value_lead", "events_users_intersect",
+        # FIRST_VALUE + hot-key DENSE_RANK / CUME_DIST (histogram broadcast)
+        "events_first_value", "orders_price_dense_rank",
+        "events_value_cume_dist",
         # keep-best-quality near-dup dedup + n-gram corpus novelty
         "doc_dedup_keep_best", "doc_ngram_novelty",
     ])
